@@ -1,0 +1,173 @@
+"""Cell codec invariants — mirrors the reference's curve test strategy:
+round-trip ("apply and unapply", Z3Test.scala:30-150), cover soundness
+("no match"/"invalid match", XZ2SFCTest.scala:50-58,91-99), budget cap
+(QueryProperties.scala:22)."""
+
+import numpy as np
+import pytest
+
+from geomesa_spark.core import cells
+from geomesa_spark.core.geometry import box, from_wkt, points_in_polygon, polygon_edges
+
+RNG = np.random.default_rng(42)
+
+
+def test_encode_decode_roundtrip():
+    lon = RNG.uniform(-180, 180, 10_000)
+    lat = RNG.uniform(-90, 90, 10_000)
+    for res in (0, 1, 5, 12, 30):
+        c = cells.encode(lon, lat, res)
+        assert c.dtype == np.int64
+        assert (c >= 0).all()
+        lon0, lat0, lon1, lat1 = cells.cell_bounds(c, res)
+        assert (lon >= lon0 - 1e-9).all() and (lon <= lon1 + 1e-9).all()
+        assert (lat >= lat0 - 1e-9).all() and (lat <= lat1 + 1e-9).all()
+
+
+def test_encode_extremes_clamped():
+    # max values clamp into the last bin (NormalizedDimension.scala semantics)
+    c = cells.encode([180.0, -180.0], [90.0, -90.0], 10)
+    x, y = cells.decode_xy(c)
+    assert x[0] == (1 << 10) - 1 and y[0] == (1 << 10) - 1
+    assert x[1] == 0 and y[1] == 0
+
+
+def test_morton_xy_roundtrip():
+    x = RNG.integers(0, 1 << 30, 1000)
+    y = RNG.integers(0, 1 << 30, 1000)
+    c = cells.encode_xy(x, y)
+    x2, y2 = cells.decode_xy(c)
+    np.testing.assert_array_equal(x, x2)
+    np.testing.assert_array_equal(y, y2)
+
+
+def test_parent_child_consistency():
+    lon = RNG.uniform(-180, 180, 1000)
+    lat = RNG.uniform(-90, 90, 1000)
+    fine = cells.encode(lon, lat, 14)
+    coarse = cells.encode(lon, lat, 10)
+    np.testing.assert_array_equal(cells.parent(fine, 14, 10), coarse)
+    kids = cells.children(int(coarse[0]), 10, 12)
+    assert len(kids) == 16
+    assert (cells.parent(kids, 12, 10) == coarse[0]).all()
+
+
+def test_ring_and_disk():
+    c = int(cells.encode([10.0], [20.0], 8)[0])
+    r0 = cells.ring(c, 8, 0)
+    assert list(r0) == [c]
+    r1 = cells.ring(c, 8, 1)
+    assert len(r1) == 8
+    r2 = cells.ring(c, 8, 2)
+    assert len(r2) == 16
+    d2 = cells.disk(c, 8, 2)
+    assert len(d2) == 25
+    # rings are disjoint from each other
+    assert len(np.intersect1d(r1, r2)) == 0
+    # every ring-1 cell is adjacent (Chebyshev distance 1)
+    x0, y0 = cells.decode_xy(np.array([c]))
+    x, y = cells.decode_xy(r1)
+    assert (np.maximum(np.abs(x - x0[0]), np.abs(y - y0[0])) == 1).all()
+
+
+def test_ring_wraps_antimeridian():
+    # cell on the antimeridian edge: ring must wrap in x, not fall off
+    c = int(cells.encode([-179.999], [0.0], 8)[0])
+    r1 = cells.ring(c, 8, 1)
+    assert len(r1) == 8
+    x, y = cells.decode_xy(r1)
+    n = 1 << 8
+    assert (x.max() == n - 1) and (x.min() == 0)  # wrapped
+
+
+def test_ring_clamps_poles():
+    c = int(cells.encode([0.0], [89.999], 8)[0])
+    r1 = cells.ring(c, 8, 1)
+    assert len(r1) == 5  # top row clipped
+
+
+COVER_GEOMS = [
+    "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))",
+    "POLYGON((-5 -5, 5 -2, 8 7, -3 6, -5 -5))",
+    "POLYGON((100 40, 120 42, 118 55, 99 50, 100 40))",
+    # skinny polygon (cover-explosion case -> budget must hold)
+    "POLYGON((0 0, 90 0.01, 90 0.02, 0 0.01, 0 0))",
+    # tiny polygon
+    "POLYGON((1.0001 1.0001, 1.0002 1.0001, 1.0002 1.0002, 1.0001 1.0002, 1.0001 1.0001))",
+]
+
+
+@pytest.mark.parametrize("wkt", COVER_GEOMS)
+def test_cover_soundness(wkt):
+    """XZ2SFCTest analog: no point inside the geometry is missed by the cover
+    ('no match'), and contained cells never need refinement ('invalid match')."""
+    geom = from_wkt(wkt)
+    res = 12
+    cover = cells.cover_geometry(geom, res, max_cells=2048)
+    assert 0 < len(cover.cells) <= 2048
+
+    lon0, lat0, lon1, lat1 = geom.bounds()
+    pad_x = max((lon1 - lon0) * 0.2, 0.01)
+    pad_y = max((lat1 - lat0) * 0.2, 0.01)
+    lon = RNG.uniform(lon0 - pad_x, lon1 + pad_x, 20_000)
+    lat = RNG.uniform(max(lat0 - pad_y, -90), min(lat1 + pad_y, 90), 20_000)
+    edges = polygon_edges(geom)
+    truth = points_in_polygon(lon, lat, edges, include_boundary=True)
+
+    covered = np.zeros(lon.shape[0], dtype=bool)
+    contained = np.zeros(lon.shape[0], dtype=bool)
+    pt_fine = cells.encode(lon, lat, res)
+    for r, c in cover.contained:
+        anc = cells.parent(pt_fine, res, r)
+        m = anc == c
+        covered |= m
+        contained |= m
+    for r, c in cover.overlapping:
+        covered |= cells.parent(pt_fine, res, r) == c
+    # completeness: inside => covered
+    assert not (truth & ~covered).any(), "cover missed points inside the geometry"
+    # contained cells are fully inside: contained => inside (strictly interior pts)
+    strict = points_in_polygon(lon, lat, edges, include_boundary=False)
+    bad = contained & ~truth
+    assert not bad.any(), "a 'contained' cell held a point outside the geometry"
+    del strict
+
+
+def test_cover_budget():
+    geom = from_wkt(COVER_GEOMS[3])  # skinny
+    cover = cells.cover_geometry(geom, 16, max_cells=200)
+    assert len(cover.cells) <= 200
+    # must still be complete: check a point deep inside
+    lon, lat = np.array([45.0]), np.array([0.008])
+    pt = cells.encode(lon, lat, 16)
+    hit = False
+    for r, c in cover.cells:
+        hit |= bool((cells.parent(pt, 16, r) == c).all())
+    assert hit
+
+
+def test_sql_expr_matches_numpy():
+    import duckdb
+
+    lon = RNG.uniform(-180, 180, 5000)
+    lat = RNG.uniform(-90, 90, 5000)
+    for res in (4, 12, 15):
+        expected = cells.encode(lon, lat, res)
+        expr = cells.cell_sql_expr("lon", "lat", res)
+        con = duckdb.connect()
+        con.register(
+            "pts",
+            __import__("pandas").DataFrame({"lon": lon, "lat": lat}),
+        )
+        got = con.sql(f"SELECT {expr} AS cell FROM pts").fetchnumpy()["cell"]
+        np.testing.assert_array_equal(expected, got.astype(np.int64))
+
+
+def test_time_bin_sql():
+    import duckdb
+
+    expr = cells.time_bin_sql_expr("epoch(ts)", "week")
+    got = duckdb.sql(
+        f"SELECT {expr} AS b FROM (SELECT TIMESTAMP '1970-01-09 00:00:00' AS ts)"
+    ).fetchone()[0]
+    assert got == 1
