@@ -1,0 +1,116 @@
+"""Image codec + generator invariants (BASELINE: PSNR>=40dB lossy, lossless
+exact, phash stability, deterministic regeneration)."""
+
+import numpy as np
+import pytest
+
+from geomesa_spark.functions import image as img
+from geomesa_spark.sources import images as src
+
+
+def test_raw_roundtrip():
+    arr = src.pixels_of(1)
+    assert np.array_equal(img.decode_raw(img.encode_raw(arr), arr.shape[1], arr.shape[0]), arr)
+
+
+def test_png_roundtrip_lossless():
+    for i in (0, 7, 123):
+        arr = src.pixels_of(i)
+        out = img.decode_png(img.encode_png(arr))
+        assert np.array_equal(out, arr)
+        assert img.psnr(arr, out) == float("inf")
+
+
+def test_png_decoder_handles_filters():
+    """Exercise filter types 1/2/3/4 by hand-building filtered scanlines."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    h, w = arr.shape[:2]
+    bpp, stride = 3, w * 3
+    flat = arr.reshape(h, stride).astype(np.int32)
+    lines = []
+    for r, f in zip(range(h), [0, 1, 2, 3, 4, 2]):
+        prev = flat[r - 1] if r > 0 else np.zeros(stride, dtype=np.int32)
+        cur = flat[r]
+        enc = np.zeros(stride, dtype=np.int32)
+        for c in range(stride):
+            a = cur[c - bpp] if c >= bpp else 0
+            b = prev[c]
+            cc = prev[c - bpp] if c >= bpp else 0
+            if f == 0:
+                enc[c] = cur[c]
+            elif f == 1:
+                enc[c] = (cur[c] - a) & 0xFF
+            elif f == 2:
+                enc[c] = (cur[c] - b) & 0xFF
+            elif f == 3:
+                enc[c] = (cur[c] - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[c] = (cur[c] - pred) & 0xFF
+        lines.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + img._chunk(b"IHDR", ihdr)
+        + img._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + img._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(img.decode_png(buf), arr)
+
+
+def test_qjz_lossy_psnr_above_40():
+    for i in (2, 50, 999):
+        arr = src.pixels_of(i)
+        out = img.decode_qjz(img.encode_qjz(arr))
+        p = img.psnr(arr, out)
+        assert p >= 40.0, f"qjz PSNR {p} < 40"
+        assert not np.array_equal(out, arr)  # genuinely lossy
+
+
+def test_jpeg_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        img.decode_jpeg(b"\xff\xd8\xff")
+
+
+def test_phash_properties():
+    a = src.pixels_of(10)
+    h1 = img.phash64(a)
+    assert img.phash64(a) == h1  # deterministic
+    # lossy-decoded copy stays perceptually close
+    a2 = img.decode_qjz(img.encode_qjz(a))
+    assert img.hamming64(h1, img.phash64(a2)) <= 6
+    # a different image is far
+    b = src.pixels_of(11)
+    assert img.hamming64(h1, img.phash64(b)) > 10
+    assert -(2**63) <= h1 < 2**63
+
+
+def test_generator_deterministic_and_valid():
+    ids = np.arange(0, 60)
+    p1 = src.generate_batch(ids)
+    p2 = src.generate_batch(ids)
+    assert p1.equals(p2)
+    assert (p1["lon"].between(-180, 180)).all()
+    assert (p1["lat"].between(-90, 90)).all()
+    assert set(p1["fmt"]) == {"raw", "png", "qjz"}
+    # decoded pixels match the generator exactly for lossless, PSNR>=40 lossy
+    for _, row in p1.head(12).iterrows():
+        i = int(row.image_id[3:])
+        truth = src.pixels_of(i)
+        got = img.decode_image(row["bytes"], row.fmt, row.w, row.h)
+        assert img.psnr(truth, got) >= 40.0
+        assert row.caption == src.caption_of(i)
+        assert row.phash == img.phash64(truth)
+
+
+def test_generator_hot_city_skew():
+    ids = np.arange(0, 5000)
+    pdf = src.generate_batch(ids, hot_city=0, hot_frac=0.5)
+    nyc = ((pdf.lon + 74.006).abs() < 1) & ((pdf.lat - 40.713).abs() < 1)
+    assert nyc.mean() > 0.45
