@@ -1,0 +1,652 @@
+"""Query catalog: every implemented operator exposed as a (spark_fn, oracle)
+pair for the driver contract (__spark_entry__.py) and the bench.
+
+Each spark_fn takes (spark, sf_dir) and returns a DataFrame built through the
+engine's operators; each oracle is ANSI SQL DuckDB runs on the same parquet
+views. Column names/types are aligned on both sides; float aggregates are
+rounded so parallel summation order can't flip the value hash.
+
+Geo queries derive deterministic lon/lat from event_id with pure int64
+arithmetic evaluated identically by Spark and DuckDB; geometry literals use
+5-decimal coordinates ending in 5 so no 4-decimal data point can sit within
+epsilon of a boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .core import cells
+from .functions.text import lang_id_expr, quality_exprs
+from .operators.density import grid_snap_exprs
+from .operators.knn import knn_join
+from .operators.sampling import sample_nth
+from .operators.spatial_join import spatial_join
+from .operators.stats import histogram, top_k
+from .operators.tracks import point2point
+
+# --- deterministic point derivation (identical int64 math in both engines) ---
+LON_SQL = "(((event_id * 2654435761) % 3600000) / 10000.0 - 180.0)"
+LAT_SQL = "(((event_id * 40503) % 1800000) / 10000.0 - 90.0)"
+
+
+def _lonlat_np(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ids = ids.astype(np.int64)
+    lon = (ids * 2654435761) % 3600000 / 10000.0 - 180.0
+    lat = (ids * 40503) % 1800000 / 10000.0 - 90.0
+    return lon, lat
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _load(spark, sf_dir, "events")
+    return events.withColumn("lon", F.expr(LON_SQL)).withColumn("lat", F.expr(LAT_SQL))
+
+
+# --- geometry literals (edges end in ...00005: off the 1e-4 data grid) -------
+
+BOXES = {
+    "b_na": (-130.00005, 10.00005, -60.00005, 55.00005),
+    "b_eu": (-10.00005, 35.00005, 40.00005, 70.00005),
+    "b_apac": (100.00005, -45.00005, 175.00005, 20.00005),
+    "b_small": (1.00005, 1.00005, 3.00005, 3.00005),
+    "b_wide": (-179.99995, -5.00005, 179.99995, 5.00005),
+    "b_overlap_eu": (20.00005, 30.00005, 60.00005, 60.00005),
+}
+
+PENTAGON = [  # convex, ccw
+    (-10.00005, -5.00005),
+    (20.00005, -10.00005),
+    (35.00005, 15.00005),
+    (5.00005, 30.00005),
+    (-20.00005, 10.00005),
+]
+
+
+def _box_wkt(b):
+    x0, y0, x1, y1 = b
+    return f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+
+
+def _pentagon_wkt():
+    pts = ", ".join(f"{x} {y}" for x, y in PENTAGON + [PENTAGON[0]])
+    return f"POLYGON(({pts}))"
+
+
+# =============================================================================
+# Geo queries
+# =============================================================================
+
+def q_geo_pip_join(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    polys = {pid: _box_wkt(b) for pid, b in BOXES.items()}
+    joined = spatial_join(pts, polys)
+    return (
+        joined.groupBy("poly_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _oracle_geo_pip_join():
+    vals = ", ".join(
+        f"('{pid}', {x0}, {y0}, {x1}, {y1})" for pid, (x0, y0, x1, y1) in BOXES.items()
+    )
+    return f"""
+WITH pts AS (SELECT event_id, user_id, value, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+boxes(poly_id, x0, y0, x1, y1) AS (VALUES {vals})
+SELECT poly_id, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 4) AS sum_value
+FROM pts JOIN boxes ON lon BETWEEN x0 AND x1 AND lat BETWEEN y0 AND y1
+GROUP BY poly_id
+"""
+
+
+def q_geo_pip_convex(spark, sf_dir):
+    """General (non-rect) convex polygon: exercises the quadtree cover +
+    vectorized PIP refine path; oracle uses half-plane tests."""
+    pts = _points(spark, sf_dir)
+    joined = spatial_join(pts, {"pent": _pentagon_wkt()})
+    return joined.groupBy("poly_id").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _oracle_geo_pip_convex():
+    conds = []
+    n = len(PENTAGON)
+    for i in range(n):
+        x0, y0 = PENTAGON[i]
+        x1, y1 = PENTAGON[(i + 1) % n]
+        conds.append(f"(({x1} - {x0}) * (lat - {y0}) - ({y1} - {y0}) * (lon - {x0})) >= 0")
+    return f"""
+WITH pts AS (SELECT event_id, value, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events)
+SELECT 'pent' AS poly_id, CAST(count(*) AS BIGINT) AS n_points,
+       round(sum(value), 4) AS sum_value
+FROM pts WHERE {' AND '.join(conds)}
+"""
+
+
+CELL_RES = 8
+
+
+def q_geo_cell_density(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return (
+        pts.select(F.expr(cells.cell_sql_expr("lon", "lat", CELL_RES)).alias("cell"), "value")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def _oracle_geo_cell_density():
+    expr = cells.cell_sql_expr("lon", "lat", CELL_RES)
+    return f"""
+WITH pts AS (SELECT value, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events)
+SELECT {expr} AS cell, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+FROM pts GROUP BY 1
+"""
+
+
+def q_geo_tile_density(spark, sf_dir):
+    from .operators.density import density
+
+    pts = _points(spark, sf_dir)
+    return density(pts, (-180.0, -90.0, 180.0, 90.0), 256, 128, weight="value").withColumn(
+        "weight", F.round(F.col("weight"), 4)
+    )
+
+
+def _oracle_geo_tile_density():
+    tx, ty = grid_snap_exprs("lon", "lat", (-180.0, -90.0, 180.0, 90.0), 256, 128)
+    return f"""
+WITH pts AS (SELECT value, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events)
+SELECT {tx} AS tile_x, {ty} AS tile_y, round(sum(value), 4) AS weight
+FROM pts GROUP BY 1, 2
+"""
+
+
+def q_geo_timebin_cells(spark, sf_dir):
+    """Z3 analog: (epoch-week bin, coarse cell) density."""
+    pts = _points(spark, sf_dir)
+    return (
+        pts.select(
+            F.expr("cast(floor(unix_timestamp(ts) / 604800) as bigint)").alias("week_bin"),
+            F.expr(cells.cell_sql_expr("lon", "lat", 4)).alias("cell"),
+        )
+        .groupBy("week_bin", "cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _oracle_geo_timebin_cells():
+    expr = cells.cell_sql_expr("lon", "lat", 4)
+    return f"""
+WITH pts AS (SELECT ts, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events)
+SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week_bin, {expr} AS cell,
+       CAST(count(*) AS BIGINT) AS n
+FROM pts GROUP BY 1, 2
+"""
+
+
+KNN_K = 5
+KNN_NQ = 12
+
+
+def q_geo_knn(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    qids = np.arange(KNN_NQ)
+    qlon, qlat = _lonlat_np(qids)
+    queries = pd.DataFrame({"query_id": qids.astype(np.int64), "lon": qlon, "lat": qlat})
+    out = knn_join(
+        pts,
+        queries,
+        k=KNN_K,
+        point_id="event_id",
+        metric="planar",
+        res=8,
+        exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("event_id").cast("long"),
+        F.col("rnk").cast("int"),
+    )
+
+
+def _oracle_geo_knn():
+    return f"""
+WITH pts AS (SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+q AS (SELECT event_id AS query_id, lon AS qlon, lat AS qlat FROM pts WHERE event_id < {KNN_NQ}),
+d AS (
+  SELECT q.query_id, p.event_id,
+         sqrt((p.lon - q.qlon) * (p.lon - q.qlon) + (p.lat - q.qlat) * (p.lat - q.qlat)) AS dist
+  FROM pts p CROSS JOIN q WHERE p.event_id <> q.query_id
+),
+r AS (SELECT query_id, event_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, event_id ASC) AS INTEGER) AS rnk
+      FROM d)
+SELECT query_id, event_id, rnk FROM r WHERE rnk <= {KNN_K}
+"""
+
+
+def q_geo_track_segments(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    segs = point2point(pts, track="user_id", ts="ts", order_tiebreak="event_id")
+    return segs.groupBy("track").agg(
+        F.count("*").alias("n_segments"),
+        F.round(F.sum("seg_len_deg"), 6).alias("total_len"),
+    )
+
+
+def _oracle_geo_track_segments():
+    return f"""
+WITH pts AS (SELECT user_id, ts, event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+segs AS (
+  SELECT user_id,
+         lag(lon) OVER w AS lon0, lag(lat) OVER w AS lat0, lon AS lon1, lat AS lat1
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id AS track, CAST(count(*) AS BIGINT) AS n_segments,
+       round(sum(sqrt((lon1 - lon0) * (lon1 - lon0) + (lat1 - lat0) * (lat1 - lat0))), 6) AS total_len
+FROM segs WHERE lon0 IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_geo_sample_nth(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    s = sample_nth(events, 10, order_by="event_id", key="event_type")
+    return s.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _oracle_geo_sample_nth():
+    return """
+WITH s AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id ASC) AS rn
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+FROM s WHERE (rn - 1) % 10 = 0 GROUP BY event_type
+"""
+
+
+# =============================================================================
+# Stats / relational queries
+# =============================================================================
+
+def q_stats_histogram(spark, sf_dir):
+    (li,) = _load(spark, sf_dir, "lineitem")
+    return histogram(li, "l_quantity", 10, 1.0, 51.0)
+
+
+def _oracle_stats_histogram():
+    return """
+SELECT least(greatest(CAST(floor((l_quantity - 1.0) / 5.0) AS BIGINT), 0), 9) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_stats_topk(spark, sf_dir):
+    (part,) = _load(spark, sf_dir, "part")
+    return top_k(part, "p_brand", 5)
+
+
+def _oracle_stats_topk():
+    return """
+WITH c AS (SELECT p_brand AS value, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1),
+r AS (SELECT value, n, CAST(row_number() OVER (ORDER BY n DESC, value ASC) AS INTEGER) AS rnk FROM c)
+SELECT value, n, rnk FROM r WHERE rnk <= 5
+"""
+
+
+def q_stats_enumeration(spark, sf_dir):
+    from .operators.stats import enumeration
+
+    (events,) = _load(spark, sf_dir, "events")
+    return enumeration(events, "event_type")
+
+
+def _oracle_stats_enumeration():
+    return "SELECT event_type AS value, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1"
+
+
+def q_stats_minmax(spark, sf_dir):
+    (li,) = _load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_v"),
+        F.max("l_quantity").alias("max_v"),
+        F.count("*").alias("cnt"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def _oracle_stats_minmax():
+    return """
+SELECT min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+       CAST(count(*) AS BIGINT) AS cnt, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem
+"""
+
+
+def q_stats_descriptive(spark, sf_dir):
+    (li,) = _load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("l_discount").alias("cnt"),
+        F.round(F.avg("l_discount"), 6).alias("mean_v"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_v"),
+        F.round(F.stddev_samp("l_discount"), 8).alias("std_v"),
+        F.min("l_discount").alias("min_v"),
+        F.max("l_discount").alias("max_v"),
+    )
+
+
+def _oracle_stats_descriptive():
+    return """
+SELECT CAST(count(l_discount) AS BIGINT) AS cnt,
+       round(avg(l_discount), 6) AS mean_v,
+       round(var_samp(l_discount), 8) AS var_v,
+       round(stddev_samp(l_discount), 8) AS std_v,
+       min(l_discount) AS min_v, max(l_discount) AS max_v
+FROM lineitem
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    (li,) = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _oracle_tpch_q1():
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue_by_nation(spark, sf_dir):
+    cust, orders, nation = _load(spark, sf_dir, "customer", "orders", "nation")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def _oracle_join_revenue_by_nation():
+    return """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# =============================================================================
+# Documents / text
+# =============================================================================
+
+def q_dedup_exact(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def _oracle_dedup_exact():
+    return """
+SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    out = docs.select("doc_id")
+    exprs = quality_exprs("text", "spark")
+    sel = [F.col("doc_id")] + [F.expr(e).alias(name) for name, e in exprs.items()]
+    return docs.select(*sel)
+
+
+def _oracle_text_quality():
+    exprs = quality_exprs("text", "duckdb")
+    cols = ", ".join(f"{e} AS {name}" for name, e in exprs.items())
+    return f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {cols} FROM documents"
+
+
+def q_text_langid(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.expr(lang_id_expr("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _oracle_text_langid():
+    return (
+        f"SELECT {lang_id_expr('text')} AS lang_pred, CAST(count(*) AS BIGINT) AS n "
+        f"FROM documents GROUP BY 1"
+    )
+
+
+def q_lang_stats(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def _oracle_lang_stats():
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n, round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# =============================================================================
+# Embeddings / similarity
+# =============================================================================
+
+ANN_NQ = 5
+ANN_K = 10
+
+
+def q_embed_norms(spark, sf_dir):
+    from .operators.similarity import _norm_expr
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(F.expr(_norm_expr("embedding")), 4).alias("norm"),
+    )
+
+
+def _oracle_embed_norms():
+    return """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS norm
+FROM embeddings
+"""
+
+
+def q_ann_cosine(spark, sf_dir):
+    from .operators.similarity import _dot_expr, _norm_expr
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < ANN_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    cand = emb.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("qid"))
+    sim = F.round(
+        F.expr(_dot_expr("embedding", "qvec"))
+        / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr("qvec"))),
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_K)
+        .select(
+            F.col("qid").cast("long"),
+            F.col("vec_id").cast("long"),
+            F.col("rnk").cast("int"),
+        )
+    )
+
+
+def _oracle_ann_cosine():
+    dot = (
+        "list_sum(list_transform(list_zip(e.embedding, q.qvec), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    norm = "sqrt(list_sum(list_transform({c}, x -> CAST(x AS DOUBLE) * x)))"
+    ne = norm.format(c="e.embedding")
+    nq = norm.format(c="q.qvec")
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {ANN_NQ}),
+d AS (
+  SELECT q.qid, e.vec_id, round({dot} / ({ne} * {nq}), 6) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+),
+r AS (SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+      FROM d)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, rnk FROM r WHERE rnk <= {ANN_K}
+"""
+
+
+# =============================================================================
+# Rows-only entries (non-SQL-expressible: LSH dedup, image ops)
+# =============================================================================
+
+def q_minhash_pairs(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_pairs
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from .operators.dedup import simhash_pairs
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=16)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from .operators.similarity import lsh_topk
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < ANN_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    return lsh_topk(emb, queries, k=ANN_K, dim=64)
+
+
+def q_img_tile_density(spark, sf_dir):
+    """Flagship image pipeline at testdata scale: synthesize the image table
+    from event ids (deterministic, executor-side), PIP-join to city polygons,
+    decode + tile-assign, aggregate."""
+    from .operators.raster import tile_density
+    from .sources.images import images_df
+
+    (events,) = _load(spark, sf_dir, "events")
+    n = events.count()
+    imgs = images_df(spark, min(n, 4000))
+    return tile_density(imgs, res=12, pixel_pitch_deg=1e-4)
+
+
+def q_img_phash_buckets(spark, sf_dir):
+    """Near-dup image buckets by phash prefix (hamming-LSH chunks)."""
+    from .sources.images import images_df
+
+    (events,) = _load(spark, sf_dir, "events")
+    n = events.count()
+    imgs = images_df(spark, min(n, 4000))
+    chunk = F.shiftrightunsigned(F.col("phash"), 48).bitwiseAND(F.lit(0xFFFF))
+    return (
+        imgs.select(chunk.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =============================================================================
+# registry
+# =============================================================================
+
+QUERIES = {
+    "geo_pip_join": (q_geo_pip_join, _oracle_geo_pip_join()),
+    "geo_pip_convex": (q_geo_pip_convex, _oracle_geo_pip_convex()),
+    "geo_cell_density": (q_geo_cell_density, _oracle_geo_cell_density()),
+    "geo_tile_density": (q_geo_tile_density, _oracle_geo_tile_density()),
+    "geo_timebin_cells": (q_geo_timebin_cells, _oracle_geo_timebin_cells()),
+    "geo_knn": (q_geo_knn, _oracle_geo_knn()),
+    "geo_track_segments": (q_geo_track_segments, _oracle_geo_track_segments()),
+    "geo_sample_nth": (q_geo_sample_nth, _oracle_geo_sample_nth()),
+    "stats_histogram": (q_stats_histogram, _oracle_stats_histogram()),
+    "stats_topk": (q_stats_topk, _oracle_stats_topk()),
+    "stats_enumeration": (q_stats_enumeration, _oracle_stats_enumeration()),
+    "stats_minmax": (q_stats_minmax, _oracle_stats_minmax()),
+    "stats_descriptive": (q_stats_descriptive, _oracle_stats_descriptive()),
+    "tpch_q1": (q_tpch_q1, _oracle_tpch_q1()),
+    "join_revenue_by_nation": (q_join_revenue_by_nation, _oracle_join_revenue_by_nation()),
+    "dedup_exact": (q_dedup_exact, _oracle_dedup_exact()),
+    "text_quality": (q_text_quality, _oracle_text_quality()),
+    "text_langid": (q_text_langid, _oracle_text_langid()),
+    "lang_stats": (q_lang_stats, _oracle_lang_stats()),
+    "embed_norms": (q_embed_norms, _oracle_embed_norms()),
+    "ann_cosine": (q_ann_cosine, _oracle_ann_cosine()),
+    # rows-only (non-SQL-expressible)
+    "minhash_pairs": (q_minhash_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, None),
+    "ann_lsh": (q_ann_lsh, None),
+    "img_tile_density": (q_img_tile_density, None),
+    "img_phash_buckets": (q_img_phash_buckets, None),
+}

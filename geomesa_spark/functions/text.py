@@ -1,0 +1,109 @@
+"""Text analysis functions for training-data pipelines (documents table).
+
+All hot-path functions are pure native Spark expressions (portable to the
+DuckDB oracle); only the rolling-hash fingerprint uses an Arrow-batched UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# tiny per-language stopword markers for the n-gram-free heuristic language ID
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " los ", " que "],
+}
+
+
+def _rr(col: str, pat: str, rep: str, dialect: str) -> str:
+    """regexp_replace with replace-ALL semantics in both dialects: Spark
+    replaces all matches by default; DuckDB needs the 'g' flag."""
+    if dialect == "duckdb":
+        return f"regexp_replace({col}, '{pat}', '{rep}', 'g')"
+    return f"regexp_replace({col}, '{pat}', '{rep}')"
+
+
+_WS = "\\\\s+"
+
+
+def token_count_expr(col: str, dialect: str = "spark") -> str:
+    """Whitespace token count as portable SQL (single-space-normalized)."""
+    norm = f"trim({_rr(col, _WS, ' ', dialect)})"
+    return (
+        f"case when length({norm}) = 0 then 0 "
+        f"else length({norm}) - length(replace({norm}, ' ', '')) + 1 end"
+    )
+
+
+def quality_exprs(col: str, dialect: str = "spark") -> dict[str, str]:
+    """Quality-scoring signals as portable SQL expressions."""
+    n = f"length({col})"
+    return {
+        "n_chars": f"cast({n} as bigint)",
+        "n_tokens": f"cast({token_count_expr(col, dialect)} as bigint)",
+        "alpha_ratio": (
+            f"round(cast(length({_rr(col, '[^a-zA-Z]', '', dialect)}) as double)"
+            f" / greatest({n}, 1), 4)"
+        ),
+        "digit_ratio": (
+            f"round(cast(length({_rr(col, '[^0-9]', '', dialect)}) as double)"
+            f" / greatest({n}, 1), 4)"
+        ),
+        "avg_token_len": (
+            f"round(cast(length(replace(trim({_rr(col, _WS, ' ', dialect)}), ' ', ''))"
+            f" as double) / greatest({token_count_expr(col, dialect)}, 1), 4)"
+        ),
+    }
+
+
+def lang_id_expr(col: str) -> str:
+    """Heuristic language ID: argmax of stopword-marker hit counts, portable
+    SQL (marker occurrences counted via length arithmetic)."""
+    scores = []
+    lowered = f"(' ' || lower({col}) || ' ')"
+    for lang, markers in _LANG_MARKERS.items():
+        cnt = " + ".join(
+            f"cast((length({lowered}) - length(replace({lowered}, '{m}', ''))) / {len(m)} as bigint)"
+            for m in markers
+        )
+        scores.append((lang, f"({cnt})"))
+    # argmax with deterministic tie order (first language wins)
+    expr = "'und'"
+    best = "0"
+    for lang, s in reversed(scores):
+        expr = f"case when {s} > greatest({best}, 0) then '{lang}' else {expr} end"
+        best = f"greatest({best}, {s})"
+    return expr
+
+
+def add_text_features(df: DataFrame, col: str = "text") -> DataFrame:
+    out = df
+    for name, e in quality_exprs(col, "spark").items():
+        out = out.withColumn(name, F.expr(e))
+    return out.withColumn("lang_pred", F.expr(lang_id_expr(col)))
+
+
+def fingerprint_udf(window: int = 16):
+    """Rolling-hash document fingerprint (winnowing-lite): min of rolling
+    polynomial hashes — robust to small edits. Arrow-batched."""
+
+    @F.pandas_udf(T.LongType())
+    def fp(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            b = (t or "").encode("utf-8", "ignore")
+            if len(b) < window:
+                out[i] = np.int64(hash(b) & 0x7FFFFFFFFFFFFFFF)
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+            weights = np.power(np.uint64(257), np.arange(window - 1, -1, -1, dtype=np.uint64))
+            win = np.lib.stride_tricks.sliding_window_view(arr, window)
+            hashes = (win * weights).sum(axis=1) & np.uint64(0x7FFFFFFFFFFFFFFF)
+            out[i] = np.int64(hashes.min())
+        return pd.Series(out)
+
+    return fp

@@ -1,0 +1,83 @@
+"""Density / heatmap aggregation (DensityScan analog).
+
+Re-creates the semantics of the reference's server-side density iterator
+(``geomesa-index-api/.../iterators/DensityScan.scala:34-106``: snap geometries
+to a W x H grid over an envelope, sum weights per grid cell) and its grid math
+(``geomesa-utils/.../GridSnap.scala:59-80``: ``i = floor((x-min)/extent*W)``
+clamped to [0, W-1]).
+
+Spark-first: the snap is two native ``floor`` expressions + ``groupBy.sum`` —
+partial aggregation map-side, one shuffle keyed by (tile_x, tile_y), all
+whole-stage-codegen. No UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..core import cells
+
+
+def grid_snap_exprs(
+    lon_col: str,
+    lat_col: str,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+) -> tuple[str, str]:
+    """Portable SQL (Spark + DuckDB) GridSnap expressions, clamped like
+    GridSnap.scala:59-80."""
+    x0, y0, x1, y1 = bbox
+    tx = (
+        f"least(greatest(cast(floor((({lon_col}) - ({x0})) * {width} / ({x1 - x0})) "
+        f"as bigint), 0), {width - 1})"
+    )
+    ty = (
+        f"least(greatest(cast(floor((({lat_col}) - ({y0})) * {height} / ({y1 - y0})) "
+        f"as bigint), 0), {height - 1})"
+    )
+    return tx, ty
+
+
+def density(
+    df: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    weight: str | None = None,
+) -> DataFrame:
+    """-> (tile_x, tile_y, weight): summed weight per grid cell inside bbox.
+
+    Rows outside the bbox are filtered BEFORE the shuffle (DensityScan injects
+    the bbox into the query the same way, DensityProcess hints).
+    Weight semantics per DensityScan.scala:159-184: weight column or 1.0.
+    """
+    x0, y0, x1, y1 = bbox
+    tx, ty = grid_snap_exprs(lon, lat, bbox, width, height)
+    w_expr = F.col(weight).cast("double") if weight else F.lit(1.0)
+    return (
+        df.filter(
+            (F.col(lon) >= x0) & (F.col(lon) <= x1) & (F.col(lat) >= y0) & (F.col(lat) <= y1)
+        )
+        .select(
+            F.expr(tx).alias("tile_x"),
+            F.expr(ty).alias("tile_y"),
+            w_expr.alias("__w"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(F.sum("__w").alias("weight"))
+    )
+
+
+def cell_density(df: DataFrame, res: int, lon: str = "lon", lat: str = "lat",
+                 weight: str | None = None) -> DataFrame:
+    """-> (cell, n, weight): global density keyed by Z2 cell (heatmap tiles at
+    a zoom level). Pure native expressions."""
+    w_expr = F.col(weight).cast("double") if weight else F.lit(1.0)
+    return (
+        df.select(F.expr(cells.cell_sql_expr(lon, lat, res)).alias("cell"), w_expr.alias("__w"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"), F.sum("__w").alias("weight"))
+    )

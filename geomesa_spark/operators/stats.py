@@ -1,0 +1,131 @@
+"""Stat-DSL analog: the reference's sketch/stats surface as Spark aggregates.
+
+The reference parses a stats DSL string ("Count();MinMax(a);Histogram(b,...)",
+``geomesa-utils/.../stats/StatParser.scala:93-216``) into mergeable sketches
+computed server-side (``iterators/StatsScan.scala``). Spark's partial+final
+aggregation IS that architecture, so each stat maps to a built-in aggregate:
+
+| reference stat (file)                  | Spark mapping                      |
+|----------------------------------------|------------------------------------|
+| Count()            (Stat.scala)        | count(*)                           |
+| MinMax(a)          (MinMax.scala)      | min(a), max(a)                     |
+| MinMax HLL cardinality (MinMax.scala)  | approx_count_distinct (HLL++)      |
+| Enumeration(a)     (EnumerationStat)   | groupBy(a).count()                 |
+| TopK(a)            (TopK.scala)        | groupBy+count+row_number<=k        |
+| Histogram(a,n,lo,hi) (Histogram.scala) | floor((a-lo)/w) bucket + groupBy   |
+| Frequency(a)       (Frequency.scala, CMS) | exact groupBy count (documented substitution: Spark's shuffle makes exact counts cheaper than CMS maintenance; approx_count_distinct covers the sketched-cardinality use) |
+| DescriptiveStats(a) (DescriptiveStats.scala) | avg/var_samp/stddev/skewness/kurtosis |
+| GroupBy(a, stat)   (GroupBy.scala)     | groupBy(a).agg(...)                |
+| IteratorStackCount                      | n/a (no iterators; Spark metrics)  |
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def histogram(df: DataFrame, col: str, bins: int, lo: float, hi: float) -> DataFrame:
+    """-> (bucket, n) for ``bins`` equal buckets over [lo, hi); values at/above
+    ``hi`` clamp into the last bucket, below ``lo`` into the first — matching
+    the reference's BinnedArray index clamping (Histogram.scala)."""
+    w = (hi - lo) / bins
+    bucket = F.least(
+        F.greatest(F.floor((F.col(col) - lo) / w).cast("long"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    return df.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+def top_k(df: DataFrame, col: str, k: int) -> DataFrame:
+    """-> (value, n, rnk): exact top-k by frequency, deterministic tiebreak by
+    value (TopK.scala's StreamSummary is approximate; exact groupBy is the
+    idiomatic Spark equivalent and strictly stronger)."""
+    counts = df.groupBy(F.col(col).alias("value")).agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("value").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def enumeration(df: DataFrame, col: str) -> DataFrame:
+    """UniqueProcess analog: distinct values with counts."""
+    return df.groupBy(F.col(col).alias("value")).agg(F.count("*").alias("n"))
+
+
+def descriptive(df: DataFrame, col: str) -> DataFrame:
+    """DescriptiveStats analog: one row of moments for a numeric column."""
+    c = F.col(col)
+    return df.agg(
+        F.count(c).alias("cnt"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.avg(c).alias("mean_v"),
+        F.var_samp(c).alias("var_v"),
+        F.stddev_samp(c).alias("std_v"),
+        F.skewness(c).alias("skew_v"),
+        F.kurtosis(c).alias("kurt_v"),
+    )
+
+
+def minmax(df: DataFrame, col: str) -> DataFrame:
+    """MinMaxProcess analog, incl. the HLL cardinality MinMax carries."""
+    c = F.col(col)
+    return df.agg(
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.approx_count_distinct(c).alias("approx_distinct"),
+    )
+
+
+_STAT_RE = re.compile(r"(\w+)\(([^)]*)\)")
+
+
+def run_stats(df: DataFrame, spec: str) -> dict[str, DataFrame]:
+    """StatsProcess analog: evaluate a semicolon-joined stat spec string.
+
+    Grammar (subset of StatParser.scala:93-216):
+    ``Count()``, ``MinMax(col)``, ``Histogram(col,bins,lo,hi)``,
+    ``TopK(col,k)``, ``Enumeration(col)``, ``DescriptiveStats(col)``,
+    ``GroupBy(col,<stat>)``.
+    """
+    out: dict[str, DataFrame] = {}
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        if part.lower().startswith("groupby("):
+            inner = part[len("groupby(") : -1]
+            gcol, sub = inner.split(",", 1)
+            m = _STAT_RE.match(sub.strip())
+            name, args = m.group(1), [a.strip() for a in m.group(2).split(",") if a.strip()]
+            if name == "Count":
+                out[part] = df.groupBy(gcol.strip()).agg(F.count("*").alias("cnt"))
+            elif name == "MinMax":
+                out[part] = df.groupBy(gcol.strip()).agg(
+                    F.min(args[0]).alias("min_v"), F.max(args[0]).alias("max_v")
+                )
+            else:
+                raise ValueError(f"GroupBy supports Count/MinMax, got {name}")
+            continue
+        m = _STAT_RE.match(part)
+        if not m:
+            raise ValueError(f"bad stat spec: {part}")
+        name, args = m.group(1), [a.strip() for a in m.group(2).split(",") if a.strip()]
+        if name == "Count":
+            out[part] = df.agg(F.count("*").alias("cnt"))
+        elif name == "MinMax":
+            out[part] = minmax(df, args[0])
+        elif name == "Histogram":
+            out[part] = histogram(df, args[0], int(args[1]), float(args[2]), float(args[3]))
+        elif name == "TopK":
+            out[part] = top_k(df, args[0], int(args[1]))
+        elif name == "Enumeration":
+            out[part] = enumeration(df, args[0])
+        elif name == "DescriptiveStats":
+            out[part] = descriptive(df, args[0])
+        else:
+            raise ValueError(f"unknown stat: {name}")
+    return out

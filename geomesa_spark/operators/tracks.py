@@ -1,0 +1,116 @@
+"""Track/trajectory operators (window-function re-expressions).
+
+- ``point2point``: per track id, order by time, connect consecutive points
+  into segments (analog of ``geomesa-process/.../analytic/
+  Point2PointProcess.scala`` — theirs groups+sorts client-side; ours is a
+  lag() window, shuffling once on track id).
+- ``track_label``: last point per track (``TrackLabelProcess.scala``) via
+  max_by-style row_number.
+- ``tube_select``: spatio-temporal corridor join (``tube/TubeBuilder.scala``,
+  ``TubeSelectProcess.scala:115-150``): buffer a track into per-time-bin
+  tubes, then cell-cover join candidates within the tube segments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..core.geometry import buffer_point_deg
+
+
+def point2point(
+    df: DataFrame,
+    track: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """-> one row per consecutive segment: (track, t0, t1, lon0, lat0, lon1,
+    lat1, seg_len_deg). Deterministic ordering via (ts, tiebreak)."""
+    order_cols = [F.col(ts).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(track).orderBy(*order_cols)
+    return (
+        df.select(
+            F.col(track).alias("track"),
+            F.col(ts).alias("t1"),
+            F.col(lon).alias("lon1"),
+            F.col(lat).alias("lat1"),
+            F.lag(ts).over(w).alias("t0"),
+            F.lag(lon).over(w).alias("lon0"),
+            F.lag(lat).over(w).alias("lat0"),
+        )
+        .filter(F.col("t0").isNotNull())
+        .withColumn(
+            "seg_len_deg",
+            F.sqrt(
+                F.pow(F.col("lon1") - F.col("lon0"), 2)
+                + F.pow(F.col("lat1") - F.col("lat0"), 2)
+            ),
+        )
+    )
+
+
+def track_label(
+    df: DataFrame,
+    track: str = "user_id",
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Last row per track (TrackLabelProcess analog)."""
+    order_cols = [F.col(ts).desc()] + (
+        [F.col(order_tiebreak).desc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(track).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def tube_select(
+    points: DataFrame,
+    track_pdf: pd.DataFrame,
+    buffer_m: float,
+    time_bin_s: int = 3600,
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "ts",
+) -> DataFrame:
+    """Corridor join: rows of ``points`` within ``buffer_m`` of the track's
+    position in the same time bin.
+
+    The track (driver-side, ordered by its ``ts`` epoch-seconds column with
+    lon/lat) is binned; each bin becomes a buffered polygon joined via the
+    cell-cover spatial join keyed additionally on the time bin — the
+    (cell, time_bucket) interval+spatial join of TubeBuilder's gap-filled
+    tube features.
+    """
+    from .spatial_join import spatial_join
+
+    track_pdf = track_pdf.sort_values(ts)
+    bins = (track_pdf[ts].to_numpy() // time_bin_s).astype(np.int64)
+    polys = {}
+    bin_of = {}
+    for b in np.unique(bins):
+        seg = track_pdf[bins == b]
+        clon = float(seg[lon].mean())
+        clat = float(seg[lat].mean())
+        # buffer sized to cover the bin's extent + the requested radius
+        extent_m = 111194.93 * max(
+            float(seg[lat].max() - seg[lat].min()),
+            float((seg[lon].max() - seg[lon].min())) * np.cos(np.radians(clat)),
+        )
+        pid = f"bin_{int(b)}"
+        polys[pid] = buffer_point_deg(clon, clat, buffer_m + extent_m / 2 + 1.0)
+        bin_of[pid] = int(b)
+
+    joined = spatial_join(points, polys, lon=lon, lat=lat)
+    # time-bin refinement: row's bin must match the tube segment's bin
+    bin_map = F.create_map(
+        *[x for pid, b in bin_of.items() for x in (F.lit(pid), F.lit(b))]
+    )
+    return joined.filter(
+        (F.col(ts).cast("long") / time_bin_s).cast("long") == bin_map[F.col("poly_id")]
+    )

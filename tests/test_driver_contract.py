@@ -1,0 +1,83 @@
+"""Mimics the driver's correctness gate: run every queries() entry at sf0.01
+and compare against oracle_sql() via DuckDB — row count, column names, and an
+order-insensitive value comparison (columns sorted by name, rows sorted)."""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+ORACLE = entry_mod.oracle_sql()
+ALL_QUERIES = entry_mod.queries()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return c
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(spark, con, name):
+    got = ALL_QUERIES[name](spark, SF_DIR).toPandas()
+    exp = con.sql(ORACLE[name]).df()
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    g, e = normalize(got), normalize(exp)
+    for c in g.columns:
+        gv, ev = g[c].tolist(), e[c].tolist()
+        bad = [
+            (i, a, b) for i, (a, b) in enumerate(zip(gv, ev)) if not values_equal(a, b)
+        ]
+        assert not bad, f"{name}.{c}: {len(bad)} mismatches, first: {bad[:3]}"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(ALL_QUERIES) - set(ORACLE))
+)
+def test_rows_only_queries_run(spark, name):
+    df = ALL_QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    cols = set(df.columns)
+    assert {"poly_id", "n_images", "n_tiles", "total_weight"} <= cols
