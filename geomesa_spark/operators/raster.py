@@ -43,32 +43,52 @@ def tile_assignments(
     row/column orientation."""
 
     needed = images.select("image_id", "bytes", "w", "h", "fmt", lon, lat)
+    nres = np.int64(1) << np.int64(res)
 
     def assign(batches):
         for pdf in batches:
-            ids, cels, wts = [], [], []
-            for row in pdf.itertuples(index=False):
+            # Per image, the pixel grid's column cell-x indices and row cell-y
+            # indices are each MONOTONIC (lon increases with col, lat decreases
+            # with row), so the image partitions into contiguous rectangular
+            # blocks per tile. Two nested np.add.reduceat calls produce every
+            # block's intensity sum in one pass — O(w+h) cell-index math per
+            # image instead of O(w*h) per-pixel encode + a batch-wide sort.
+            out_ids, out_cells, out_w = [], [], []
+            img_ids = pdf["image_id"].to_numpy()
+            for k, row in enumerate(pdf.itertuples(index=False)):
                 arr = decode_image(row.bytes, row.fmt, row.w, row.h)
                 gray = (arr.astype(np.float64) @ GRAY) / 255.0
                 h, w = gray.shape
-                cols = np.arange(w) * pixel_pitch_deg + getattr(row, lon)
-                rows = getattr(row, lat) - np.arange(h) * pixel_pitch_deg
-                px_lon = np.broadcast_to(cols[None, :], (h, w)).ravel()
-                px_lat = np.broadcast_to(rows[:, None], (h, w)).ravel()
-                cell = cells.encode(px_lon, px_lat, res)
-                uc, inv = np.unique(cell, return_inverse=True)
-                wsum = np.bincount(inv, weights=gray.ravel())
-                ids.extend([row.image_id] * len(uc))
-                cels.append(uc)
-                wts.append(wsum)
-            if ids:
-                yield pd.DataFrame(
-                    {
-                        "image_id": ids,
-                        "tile_cell": np.concatenate(cels),
-                        "weight": np.concatenate(wts),
-                    }
-                )
+                lon0 = getattr(row, lon)
+                lat0 = getattr(row, lat)
+                xi = np.floor(
+                    (lon0 + np.arange(w) * pixel_pitch_deg + 180.0) * nres / 360.0
+                ).astype(np.int64)
+                yi = np.floor(
+                    (lat0 - np.arange(h) * pixel_pitch_deg + 90.0) * nres / 180.0
+                ).astype(np.int64)
+                np.clip(xi, 0, nres - 1, out=xi)
+                np.clip(yi, 0, nres - 1, out=yi)
+                cs = np.concatenate(([0], np.flatnonzero(np.diff(xi)) + 1))
+                rs = np.concatenate(([0], np.flatnonzero(np.diff(yi)) + 1))
+                blocks = np.add.reduceat(
+                    np.add.reduceat(gray, rs, axis=0), cs, axis=1
+                )  # (n_row_groups, n_col_groups)
+                cx = cells.encode_xy(xi[cs], np.zeros(len(cs), dtype=np.int64))
+                cy = cells.encode_xy(np.zeros(len(rs), dtype=np.int64), yi[rs])
+                cell = (cy[:, None] | cx[None, :]).ravel()
+                out_ids.append(np.full(cell.size, k, dtype=np.int64))
+                out_cells.append(cell)
+                out_w.append(blocks.ravel())
+            if not out_ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "image_id": img_ids[np.concatenate(out_ids)],
+                    "tile_cell": np.concatenate(out_cells),
+                    "weight": np.concatenate(out_w),
+                }
+            )
 
     return needed.mapInPandas(
         assign, schema="image_id string, tile_cell long, weight double"

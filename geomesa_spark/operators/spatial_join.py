@@ -7,8 +7,11 @@ SQLRules.scala:158-202), redesigned for Catalyst instead of translated:
 
     points --(JVM-codegen Z2 encode)--> cell @ R
     polygons --(driver quadtree cover, budgeted)--> (res, cell, poly_id, refine)
-    equi-join per cover resolution (broadcast or salted shuffle, cost-chosen)
-    refine only boundary cells via one vectorized Arrow-batched PIP pass
+    ONE equi-join on (cover_res, ancestor_cell) via a tiny ancestor explode
+    (broadcast or salted shuffle, cost-chosen)
+    refine: axis-aligned boxes entirely in native codegen (BETWEEN);
+    general polygons in one vectorized Arrow PIP pass — and the Python stage
+    is omitted from the plan when every polygon is a box.
 
 Design wins over the reference worth noting for parity review:
 - The quadtree cover emits *disjoint* cells, so a (point, polygon) pair can
@@ -18,6 +21,13 @@ Design wins over the reference worth noting for parity review:
 - 'contained' cover cells skip the row-level refine entirely — the analog of
   the loose-bbox optimization (Z2IndexKeySpace.useFullFilter:126-138) —
   so refine cost scales with the polygon *boundary*, not its area.
+- Rectangle polygons refine as plain column range predicates evaluated under
+  whole-stage codegen (the full loose-bbox analog): for the common
+  "bounding-box query" case the whole join is JVM-only, zero Python.
+- Mixed-resolution covers join through a single hash join: the point side
+  explodes to one (res, ancestor) struct per *distinct cover resolution*
+  (<= 4 tiny ints per row), instead of one join branch per resolution —
+  one stage, one Python round-trip at most, instead of branches x tasks.
 - Broadcast-vs-shuffle is chosen by cover size (cost-based decider analog,
   StrategyDecider.scala:140-168); the shuffle path salts hot cells
   (shard-byte analog, ShardStrategy.scala:71-79) on top of AQE skew-join.
@@ -49,8 +59,30 @@ class PreparedPolygons:
     res: int
     cover_rows: list[tuple]            # (res, cell, poly_id, refine)
     edges: dict[str, np.ndarray]       # poly_id -> (E,4) edge array
+    boxes: dict[str, tuple | None]     # poly_id -> (x0,y0,x1,y1) if axis-aligned rect
     n_contained: int
     n_overlapping: int
+
+    @property
+    def all_boxes(self) -> bool:
+        return all(b is not None for b in self.boxes.values())
+
+
+def as_box(g: Geometry) -> tuple | None:
+    """(x0, y0, x1, y1) if ``g`` is a single-ring axis-aligned rectangle,
+    else None. Drives the native-SQL refine fast path."""
+    if g.kind != "Polygon" or len(g.coords) != 1:
+        return None
+    ring = g.shell()
+    # closed ring of 4 corners (5 points with first == last)
+    if len(ring) == 5 and np.allclose(ring[0], ring[-1]):
+        ring = ring[:-1]
+    if len(ring) != 4:
+        return None
+    x0, y0, x1, y1 = g.bounds()
+    corners = {(x0, y0), (x0, y1), (x1, y0), (x1, y1)}
+    got = {(float(p[0]), float(p[1])) for p in ring}
+    return (x0, y0, x1, y1) if got == corners else None
 
 
 def pick_resolution(geom: Geometry, max_res: int = DEFAULT_RES) -> int:
@@ -73,6 +105,7 @@ def prepare_polygons(
 ) -> PreparedPolygons:
     cover_rows: list[tuple] = []
     edges: dict[str, np.ndarray] = {}
+    boxes: dict[str, tuple | None] = {}
     n_c = n_o = 0
     for pid, g in polygons.items():
         if isinstance(g, str):
@@ -84,10 +117,11 @@ def prepare_polygons(
         for r, c in cov.overlapping:
             cover_rows.append((r, int(c), pid, True))
         edges[pid] = polygon_edges(g)
+        boxes[pid] = as_box(g)
         n_c += len(cov.contained)
         n_o += len(cov.overlapping)
     return PreparedPolygons(res=res, cover_rows=cover_rows, edges=edges,
-                            n_contained=n_c, n_overlapping=n_o)
+                            boxes=boxes, n_contained=n_c, n_overlapping=n_o)
 
 
 def add_cell_column(
@@ -143,9 +177,9 @@ def spatial_join(
     - broadcast (default): cover rows broadcast, map-side hash join, no
       shuffle of the (huge) point side at all — at 100 TB this is the only
       sane default, and skew is irrelevant because nothing shuffles.
-    - shuffle: both sides repartitioned on (res, cell); hot cells salted by
-      replicating their cover rows x ``salt_buckets`` and routing points by
-      a hash-derived salt, on top of AQE skew-join splitting.
+    - shuffle: both sides repartitioned on the (res, ancestor) key; hot cells
+      salted by replicating their cover rows x ``salt_buckets`` and routing
+      points by a hash-derived salt, on top of AQE skew-join splitting.
     """
     prepared = (
         polygons
@@ -159,10 +193,29 @@ def spatial_join(
         points = add_cell_column(points, res, lon, lat, out="__cell")
         cell_col = "__cell"
 
+    nan = float("nan")
     cover_pdf = pd.DataFrame(
-        prepared.cover_rows, columns=["cres", "ccell", "poly_id", "refine"]
+        [
+            (
+                cres,
+                ccell,
+                pid,
+                refine,
+                prepared.boxes[pid] is not None,
+                *(prepared.boxes[pid] or (nan, nan, nan, nan)),
+            )
+            for cres, ccell, pid, refine in prepared.cover_rows
+        ],
+        columns=["cres", "ccell", "poly_id", "refine", "is_box", "x0", "y0", "x1", "y1"],
     )
     n_cover = len(cover_pdf)
+    if n_cover == 0:
+        # no polygons (or all empty covers): empty inner-join result
+        return (
+            points.withColumn("poly_id", F.lit(None).cast("string"))
+            .filter(F.lit(False))
+            .drop(*([cell_col] if cell_col == "__cell" else []))
+        )
     if strategy == "auto":
         strategy = "broadcast" if n_cover <= BROADCAST_COVER_LIMIT else "shuffle"
 
@@ -172,45 +225,82 @@ def spatial_join(
             T.StructField("ccell", T.LongType(), False),
             T.StructField("poly_id", T.StringType(), False),
             T.StructField("refine", T.BooleanType(), False),
+            T.StructField("is_box", T.BooleanType(), False),
+            T.StructField("x0", T.DoubleType(), True),
+            T.StructField("y0", T.DoubleType(), True),
+            T.StructField("x1", T.DoubleType(), True),
+            T.StructField("y1", T.DoubleType(), True),
         ]
     )
+    cov_df = spark.createDataFrame(cover_pdf, schema=cover_schema)
 
-    joined_parts = []
-    for r in sorted(cover_pdf["cres"].unique()):
-        sub = cover_pdf[cover_pdf["cres"] == r]
-        cov_df = spark.createDataFrame(sub, schema=cover_schema)
-        shift = 2 * (res - int(r))
-        anc = F.shiftrightunsigned(F.col(cell_col), shift) if shift else F.col(cell_col)
-        pts = points.withColumn("__anc", anc)
-        if strategy == "broadcast":
-            j = pts.join(F.broadcast(cov_df), pts["__anc"] == cov_df["ccell"], "inner")
-        else:
-            # salted shuffle join: replicate cover rows x salt_buckets, route
-            # points by deterministic hash so hot cells spread across buckets
-            salted_cov = cov_df.withColumn(
-                "__csalt", F.explode(F.array(*[F.lit(s) for s in range(salt_buckets)]))
-            )
-            pts = pts.withColumn(
-                "__salt",
-                F.pmod(F.xxhash64(F.col(cell_col), F.lit(17)), F.lit(salt_buckets)).cast("int"),
-            )
-            j = (
-                pts.join(
-                    salted_cov,
-                    (pts["__anc"] == salted_cov["ccell"])
-                    & (pts["__salt"] == salted_cov["__csalt"]),
-                    "inner",
-                )
-                .drop("__salt", "__csalt")
-            )
-        joined_parts.append(j.drop("cres", "ccell", "__anc"))
+    # one (res, ancestor) struct per distinct cover resolution: covers are
+    # disjoint across resolutions, so each point matches <= 1 cover row per
+    # polygon; the explode factor is the number of distinct resolutions.
+    res_list = sorted(cover_pdf["cres"].unique().tolist())
+    ancs = [
+        F.struct(
+            F.lit(int(r)).cast("int").alias("cres"),
+            (
+                F.shiftrightunsigned(F.col(cell_col), 2 * (res - int(r)))
+                if r < res
+                else F.col(cell_col)
+            ).alias("anc"),
+        )
+        for r in res_list
+    ]
+    pts = points.withColumn("__a", F.explode(F.array(*ancs)))
 
-    out = joined_parts[0]
-    for j in joined_parts[1:]:
-        out = out.unionByName(j)
+    if strategy == "broadcast":
+        out = pts.join(
+            F.broadcast(cov_df),
+            (F.col("__a.cres") == cov_df["cres"]) & (F.col("__a.anc") == cov_df["ccell"]),
+            "inner",
+        )
+    else:
+        # salted shuffle join: replicate cover rows x salt_buckets, route
+        # points by deterministic hash so hot cells spread across buckets
+        salted_cov = cov_df.withColumn(
+            "__csalt", F.explode(F.array(*[F.lit(s) for s in range(salt_buckets)]))
+        )
+        pts = pts.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("__a.anc"), F.lit(17)), F.lit(salt_buckets)).cast("int"),
+        )
+        out = (
+            pts.join(
+                salted_cov,
+                (F.col("__a.cres") == salted_cov["cres"])
+                & (F.col("__a.anc") == salted_cov["ccell"])
+                & (F.col("__salt") == salted_cov["__csalt"]),
+                "inner",
+            )
+            .drop("__salt", "__csalt")
+        )
 
-    # refine pass: only boundary-cell rows pay the Arrow/PIP cost
-    pip = _pip_refine_udf(prepared.edges, include_boundary)
-    out = out.filter(~F.col("refine") | pip(F.col(lon), F.col(lat), F.col("poly_id")))
-    drop = ["refine"] + (["__cell"] if cell_col == "__cell" else [])
+    # refine pass — boxes natively (codegen BETWEEN, the loose-bbox analog);
+    # general polygons via one Arrow PIP stage, omitted when all are boxes.
+    if include_boundary:
+        box_ok = (
+            (F.col(lon) >= F.col("x0")) & (F.col(lon) <= F.col("x1"))
+            & (F.col(lat) >= F.col("y0")) & (F.col(lat) <= F.col("y1"))
+        )
+    else:
+        box_ok = (
+            (F.col(lon) > F.col("x0")) & (F.col(lon) < F.col("x1"))
+            & (F.col(lat) > F.col("y0")) & (F.col(lat) < F.col("y1"))
+        )
+    keep = ~F.col("refine") | (F.col("is_box") & box_ok)
+    needs_pip = any(
+        refine and prepared.boxes[pid] is None
+        for _, _, pid, refine in prepared.cover_rows
+    )
+    if needs_pip:
+        pip = _pip_refine_udf(prepared.edges, include_boundary)
+        keep = keep | (~F.col("is_box") & pip(F.col(lon), F.col(lat), F.col("poly_id")))
+    out = out.filter(keep)
+
+    drop = ["cres", "ccell", "refine", "is_box", "x0", "y0", "x1", "y1", "__a"]
+    if cell_col == "__cell":
+        drop.append("__cell")
     return out.drop(*drop)
