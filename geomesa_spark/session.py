@@ -35,6 +35,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # multi-KB binary payloads x 4096-row columnar batches produce G1
+        # humongous allocations in the JVM vectorized parquet reader and
+        # degrade scans ~10-100x (measured); 1024-row batches keep buffers
+        # under the humongous threshold. Binary-heavy tables should prefer
+        # sources.parquet_scan.scan_parquet_arrow, which bypasses the JVM
+        # reader entirely.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
