@@ -264,6 +264,82 @@ FROM segs WHERE lon0 IS NOT NULL GROUP BY user_id
 """
 
 
+PROX_SITES = {"paris": (2.35, 48.85), "nyc": (-74.0, 40.7), "tokyo": (139.7, 35.7)}
+PROX_RADIUS = 250_000.0
+
+
+def q_geo_proximity_join(spark, sf_dir):
+    from .operators.proximity import proximity_join
+
+    pts = _points(spark, sf_dir)
+    out = proximity_join(pts, PROX_SITES, PROX_RADIUS)
+    return out.groupBy("site_id").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.avg("dist_m"), 3).alias("avg_dist_m"),
+    )
+
+
+def _oracle_geo_proximity_join():
+    from .operators.proximity import haversine_sql
+
+    vals = ", ".join(
+        f"('{sid}', {slon}, {slat})" for sid, (slon, slat) in PROX_SITES.items()
+    )
+    dist = haversine_sql("slon", "slat", "lon", "lat")
+    return f"""
+WITH pts AS (SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+sites(site_id, slon, slat) AS (VALUES {vals}),
+d AS (SELECT site_id, {dist} AS dist_m FROM pts CROSS JOIN sites)
+SELECT site_id, CAST(count(*) AS BIGINT) AS n_points, round(avg(dist_m), 3) AS avg_dist_m
+FROM d WHERE dist_m <= {PROX_RADIUS} GROUP BY site_id
+"""
+
+
+def q_join_lookup(spark, sf_dir):
+    from .operators.proximity import lookup_join
+
+    cust, orders = _load(spark, sf_dir, "customer", "orders")
+    prim = cust.filter(F.col("c_custkey") < 80)
+    out = lookup_join(prim, orders, "c_custkey", "o_custkey")
+    return out.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def _oracle_join_lookup():
+    return """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE c_custkey < 80 GROUP BY c_mktsegment
+"""
+
+
+def q_geo_track_label(spark, sf_dir):
+    from .operators.tracks import track_label
+
+    (events,) = _load(spark, sf_dir, "events")
+    out = track_label(events, track="user_id", ts="ts", order_tiebreak="event_id")
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+def _oracle_geo_track_label():
+    return """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event, round(value, 4) AS last_value
+FROM r WHERE rn = 1
+"""
+
+
 def q_geo_sample_nth(spark, sf_dir):
     (events,) = _load(spark, sf_dir, "events")
     s = sample_nth(events, 10, order_by="event_id", key="event_type")
@@ -589,6 +665,35 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, queries, k=ANN_K, dim=64)
 
 
+def q_geo_convex_hull(spark, sf_dir):
+    from .operators.hull import convex_hull
+
+    pts = _points(spark, sf_dir)
+    return convex_hull(pts, by="event_type")
+
+
+def q_geo_tube_select(spark, sf_dir):
+    from .operators.tracks import tube_select
+
+    pts = _points(spark, sf_dir)
+    # deterministic synthetic track: great-circle-ish path over 6 hours
+    # 4-week eastbound track across the events' Jan-2024 window; generous
+    # buffer + week bins so every bin catches points at sf>=0.01
+    t0 = 1704067200  # 2024-01-01
+    track = pd.DataFrame(
+        {
+            "lon": np.linspace(-74.0, 139.0, 28),
+            "lat": np.linspace(40.7, 35.7, 28),
+            "ts_s": t0 + np.arange(28) * 86400,
+        }
+    )
+    pts = pts.withColumn("ts_s", F.col("ts").cast("timestamp").cast("long"))
+    out = tube_select(
+        pts, track, buffer_m=2_000_000.0, time_bin_s=7 * 86400, ts="ts_s"
+    )
+    return out.groupBy("poly_id").agg(F.count("*").alias("n"))
+
+
 def q_img_tile_density(spark, sf_dir):
     """Flagship image pipeline at testdata scale: synthesize the image table
     from event ids (deterministic, executor-side), PIP-join to city polygons,
@@ -630,6 +735,9 @@ QUERIES = {
     "geo_knn": (q_geo_knn, _oracle_geo_knn()),
     "geo_track_segments": (q_geo_track_segments, _oracle_geo_track_segments()),
     "geo_sample_nth": (q_geo_sample_nth, _oracle_geo_sample_nth()),
+    "geo_proximity_join": (q_geo_proximity_join, _oracle_geo_proximity_join()),
+    "join_lookup": (q_join_lookup, _oracle_join_lookup()),
+    "geo_track_label": (q_geo_track_label, _oracle_geo_track_label()),
     "stats_histogram": (q_stats_histogram, _oracle_stats_histogram()),
     "stats_topk": (q_stats_topk, _oracle_stats_topk()),
     "stats_enumeration": (q_stats_enumeration, _oracle_stats_enumeration()),
@@ -644,6 +752,8 @@ QUERIES = {
     "embed_norms": (q_embed_norms, _oracle_embed_norms()),
     "ann_cosine": (q_ann_cosine, _oracle_ann_cosine()),
     # rows-only (non-SQL-expressible)
+    "geo_convex_hull": (q_geo_convex_hull, None),
+    "geo_tube_select": (q_geo_tube_select, None),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "ann_lsh": (q_ann_lsh, None),

@@ -1,0 +1,160 @@
+"""Structured Streaming live view: upsert semantics, stale-update dropping,
+tombstone deletes, TTL age-off, Lambda hot/cold merge — driven through a real
+file-source stream (deterministic chunks + processAllAvailable)."""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.streaming.live_view import (
+    expire_ttl,
+    foreach_batch_upsert,
+    live_view,
+    merged_view,
+    start_live_query,
+)
+
+SCHEMA = "fid string, lon double, lat double, ts timestamp, __deleted boolean"
+
+
+def _chunk(rows):
+    pdf = pd.DataFrame(rows, columns=["fid", "lon", "lat", "ts", "__deleted"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return pdf
+
+
+def test_live_view_batch_semantics(spark):
+    df = spark.createDataFrame(
+        _chunk(
+            [
+                ("a", 1.0, 1.0, "2024-01-01 00:00:00", False),
+                ("a", 2.0, 2.0, "2024-01-01 00:02:00", False),  # newer -> wins
+                ("a", 9.0, 9.0, "2024-01-01 00:01:00", False),  # stale -> dropped
+                ("b", 5.0, 5.0, "2024-01-01 00:00:30", False),
+                ("c", 7.0, 7.0, "2024-01-01 00:00:10", False),
+                ("c", 0.0, 0.0, "2024-01-01 00:03:00", True),   # tombstone
+            ]
+        ),
+        schema=SCHEMA,
+    )
+    out = live_view(df, "fid", "ts", tombstone="__deleted").toPandas()
+    got = {r.fid: (r.lon, r.lat) for r in out.itertuples(index=False)}
+    assert got == {"a": (2.0, 2.0), "b": (5.0, 5.0)}
+
+
+def test_streaming_file_source_upsert(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # chunk 1
+    spark.createDataFrame(
+        _chunk(
+            [
+                ("a", 1.0, 1.0, "2024-01-01 00:00:00", False),
+                ("b", 5.0, 5.0, "2024-01-01 00:00:30", False),
+            ]
+        ),
+        schema=SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = start_live_query(stream, "fid", "ts", "live_t1", tombstone="__deleted")
+    try:
+        q.processAllAvailable()
+        v1 = {
+            r.fid: r.lon for r in spark.sql("SELECT * FROM live_t1").collect()
+        }
+        assert v1 == {"a": 1.0, "b": 5.0}
+
+        # chunk 2: newer a, stale b, delete for b afterwards
+        spark.createDataFrame(
+            _chunk(
+                [
+                    ("a", 2.0, 2.0, "2024-01-01 00:02:00", False),
+                    ("b", 9.0, 9.0, "2024-01-01 00:00:10", False),  # stale
+                    ("b", 0.0, 0.0, "2024-01-01 00:05:00", True),   # tombstone
+                ]
+            ),
+            schema=SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM live_t1").collect()
+        v2 = {r.fid: r.lon for r in rows}
+        assert v2 == {"a": 2.0}  # b deleted, stale update ignored
+    finally:
+        q.stop()
+
+
+def test_ttl_expiry(spark):
+    df = spark.createDataFrame(
+        _chunk(
+            [
+                ("old", 1.0, 1.0, "2024-01-01 00:00:00", False),
+                ("new", 2.0, 2.0, "2024-01-02 00:00:00", False),
+            ]
+        ),
+        schema=SCHEMA,
+    )
+    view = live_view(df, "fid", "ts")
+    kept = expire_ttl(view, "ts", ttl_seconds=12 * 3600, now="2024-01-02 06:00:00").toPandas()
+    assert set(kept["fid"]) == {"new"}
+
+
+def test_lambda_merged_view(spark):
+    cold = spark.createDataFrame(
+        _chunk(
+            [
+                ("a", 1.0, 1.0, "2024-01-01 00:00:00", False),
+                ("b", 2.0, 2.0, "2024-01-01 00:00:00", False),
+            ]
+        ),
+        schema=SCHEMA,
+    )
+    hot = spark.createDataFrame(
+        _chunk(
+            [
+                ("a", 10.0, 10.0, "2024-01-01 01:00:00", False),  # hot overrides
+                ("c", 3.0, 3.0, "2024-01-01 01:00:00", False),    # hot-only
+            ]
+        ),
+        schema=SCHEMA,
+    )
+    out = merged_view(hot, cold, "fid", "ts", tombstone="__deleted").toPandas()
+    got = {r.fid: r.lon for r in out.itertuples(index=False)}
+    assert got == {"a": 10.0, "b": 2.0, "c": 3.0}
+
+
+def test_foreach_batch_upsert_persistence(spark, tmp_path):
+    src = tmp_path / "src2"
+    src.mkdir()
+    store = str(tmp_path / "cold_store")
+    spark.createDataFrame(
+        _chunk([("a", 1.0, 1.0, "2024-01-01 00:00:00", False)]), schema=SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(foreach_batch_upsert(store, "fid", "ts"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            _chunk(
+                [
+                    ("a", 5.0, 5.0, "2024-01-01 02:00:00", False),
+                    ("b", 6.0, 6.0, "2024-01-01 02:00:00", False),
+                ]
+            ),
+            schema=SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stored = spark.read.parquet(store).toPandas()
+    got = {r.fid: r.lon for r in stored.itertuples(index=False)}
+    assert got == {"a": 5.0, "b": 6.0}
