@@ -109,6 +109,30 @@ def run_flagship(spark, n_images: int, reps: int = 2) -> dict:
     }
 
 
+def run_skew(spark, n_images: int = 50_000) -> dict:
+    """Skew variant (north rule): 70% of rows forced into ONE city cluster so
+    one cell dominates. Exercises both physical strategies of the spatial
+    join — broadcast (immune to skew: the point side never shuffles) and the
+    salted shuffle path (hot cover cells replicated x salt buckets + AQE
+    skew-join) — and reports both so the strategy choice is evidence, not
+    assertion."""
+    import time as _t
+
+    from geomesa_spark.operators.spatial_join import spatial_join
+    from geomesa_spark.sources.images import images_df
+
+    imgs = images_df(spark, n_images, hot_city=0, hot_frac=0.7).drop("bytes").persist()
+    imgs.count()
+    out = {}
+    for strategy in ("broadcast", "shuffle"):
+        t0 = _t.time()
+        n = spatial_join(imgs, FLAGSHIP_POLYS, strategy=strategy).count()
+        out[strategy] = {"seconds": round(_t.time() - t0, 3), "rows": n}
+    imgs.unpersist()
+    assert out["broadcast"]["rows"] == out["shuffle"]["rows"]
+    return out
+
+
 def run_bench() -> dict:
     from geomesa_spark.catalog import QUERIES
     from geomesa_spark.session import get_spark
@@ -142,6 +166,10 @@ def run_bench() -> dict:
 
     flag = run_flagship(spark, IMG_N)
     timings["img_flagship"] = round(flag["seconds"], 3)
+
+    skew = run_skew(spark)
+    timings["img_skew_broadcast"] = skew["broadcast"]["seconds"]
+    timings["img_skew_salted_shuffle"] = skew["shuffle"]["seconds"]
 
     total = round(sum(timings.values()), 3)
     return {

@@ -694,6 +694,17 @@ def q_geo_tube_select(spark, sf_dir):
     return out.groupBy("poly_id").agg(F.count("*").alias("n"))
 
 
+def q_geo_route_search(spark, sf_dir):
+    from .operators.tracks import route_search
+
+    pts = _points(spark, sf_dir)
+    # deterministic heading derived from event_id; equatorial eastbound route
+    pts = pts.withColumn("heading", (F.col("event_id") % 360).cast("double"))
+    route = pd.DataFrame({"lon": np.linspace(-20.0, 20.0, 9), "lat": np.zeros(9)})
+    out = route_search(pts, route, buffer_m=500_000.0, heading_tol_deg=60.0)
+    return out.groupBy("route_segment").agg(F.count("*").alias("n"))
+
+
 def q_img_tile_density(spark, sf_dir):
     """Flagship image pipeline at testdata scale: synthesize the image table
     from event ids (deterministic, executor-side), PIP-join to city polygons,
@@ -754,6 +765,7 @@ QUERIES = {
     # rows-only (non-SQL-expressible)
     "geo_convex_hull": (q_geo_convex_hull, None),
     "geo_tube_select": (q_geo_tube_select, None),
+    "geo_route_search": (q_geo_route_search, None),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "ann_lsh": (q_ann_lsh, None),

@@ -80,6 +80,42 @@ def minmax(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def frequency(df: DataFrame, col: str) -> DataFrame:
+    """Frequency(a) analog (Frequency.scala:17-62 keeps a CountMinSketch).
+
+    Documented substitution: Spark's shuffle makes EXACT per-value counts
+    cheaper than maintaining mergeable CMS state, and the result is strictly
+    stronger (no over-count bias). Same output shape as a CMS point query
+    for every observed value."""
+    return df.groupBy(F.col(col).alias("value")).agg(F.count("*").alias("n"))
+
+
+def z3_histogram(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "ts",
+    period: str = "week",
+    res: int = 4,
+) -> DataFrame:
+    """Z3Histogram analog (stats/Z3Histogram.scala): counts per
+    (epoch time bin, coarse z cell) — the selectivity surface the reference's
+    cost estimator reads (StatsBasedEstimator.scala:49-128)."""
+    from ..core import cells
+
+    secs = {"day": 86400, "week": 7 * 86400}[period]
+    return (
+        df.select(
+            F.expr(
+                f"cast(floor(cast(cast({ts} as timestamp) as long) / {secs}) as bigint)"
+            ).alias("time_bin"),
+            F.expr(cells.cell_sql_expr(lon, lat, res)).alias("cell"),
+        )
+        .groupBy("time_bin", "cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 _STAT_RE = re.compile(r"(\w+)\(([^)]*)\)")
 
 
@@ -126,6 +162,19 @@ def run_stats(df: DataFrame, spec: str) -> dict[str, DataFrame]:
             out[part] = enumeration(df, args[0])
         elif name == "DescriptiveStats":
             out[part] = descriptive(df, args[0])
+        elif name in ("Frequency", "Z3Frequency"):
+            out[part] = frequency(df, args[0])
+        elif name == "Z3Histogram":
+            out[part] = z3_histogram(
+                df, *(args[:3] or ["lon", "lat", "ts"]),
+                period=args[3] if len(args) > 3 else "week",
+                res=int(args[4]) if len(args) > 4 else 4,
+            )
+        elif name == "IteratorStackCount":
+            # no server-side iterators exist; report executor partition count
+            out[part] = df.select(F.spark_partition_id().alias("pid")).agg(
+                F.countDistinct("pid").alias("cnt")
+            )
         else:
             raise ValueError(f"unknown stat: {name}")
     return out

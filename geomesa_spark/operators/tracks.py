@@ -114,3 +114,58 @@ def tube_select(
     return joined.filter(
         (F.col(ts).cast("long") / time_bin_s).cast("long") == bin_map[F.col("poly_id")]
     )
+
+
+def route_search(
+    points: DataFrame,
+    route_pdf: pd.DataFrame,
+    buffer_m: float,
+    heading: str = "heading",
+    heading_tol_deg: float = 45.0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Features along a route whose heading matches the route direction.
+
+    RouteSearchProcess analog (geomesa-process/.../query/RouteSearchProcess.scala):
+    buffer the route, find features within it, keep those whose ``heading``
+    column is within ``heading_tol_deg`` of the local route bearing.
+
+    ``route_pdf``: ordered (lon, lat) vertices (driver-side polyline). Each
+    route segment becomes a buffered corridor polygon carrying its bearing;
+    the cell-cover join finds candidates and a native circular-difference
+    expression applies the heading predicate (no Python in the row path).
+    """
+    from .spatial_join import spatial_join
+
+    lons = route_pdf[lon].to_numpy(dtype=np.float64)
+    lats = route_pdf[lat].to_numpy(dtype=np.float64)
+    if len(lons) < 2:
+        raise ValueError("route needs >= 2 vertices")
+    polys = {}
+    bearing_of = {}
+    for i in range(len(lons) - 1):
+        mlon, mlat = (lons[i] + lons[i + 1]) / 2, (lats[i] + lats[i + 1]) / 2
+        # segment half-length in meters (equirectangular, fine for corridors)
+        seg_m = 111194.93 * float(
+            np.hypot(
+                (lons[i + 1] - lons[i]) * np.cos(np.radians(mlat)),
+                lats[i + 1] - lats[i],
+            )
+        )
+        pid = f"seg_{i}"
+        polys[pid] = buffer_point_deg(mlon, mlat, buffer_m + seg_m / 2)
+        # initial bearing of the segment (degrees clockwise from north)
+        y = np.sin(np.radians(lons[i + 1] - lons[i])) * np.cos(np.radians(lats[i + 1]))
+        x = np.cos(np.radians(lats[i])) * np.sin(np.radians(lats[i + 1])) - np.sin(
+            np.radians(lats[i])
+        ) * np.cos(np.radians(lats[i + 1])) * np.cos(np.radians(lons[i + 1] - lons[i]))
+        bearing_of[pid] = float(np.degrees(np.arctan2(y, x))) % 360.0
+
+    joined = spatial_join(points, polys, lon=lon, lat=lat)
+    bmap = F.create_map(
+        *[x for pid, b in bearing_of.items() for x in (F.lit(pid), F.lit(b))]
+    )
+    # circular angle difference <= tol
+    diff = F.abs(F.pmod(F.col(heading) - bmap[F.col("poly_id")] + 180.0, F.lit(360.0)) - 180.0)
+    return joined.filter(diff <= heading_tol_deg).withColumnRenamed("poly_id", "route_segment")
