@@ -586,6 +586,34 @@ FROM embeddings
 """
 
 
+NEARDUP_TAU = 0.35  # synthetic embeddings: ~99.9th pctile of pair cosine
+
+
+def q_embed_neardup(spark, sf_dir):
+    from .operators.similarity import embedding_neardup_pairs
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, NEARDUP_TAU, dim=64, exact=True
+    ).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "sim"
+    )
+
+
+def _oracle_embed_neardup():
+    dot = (
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    norm = "sqrt(list_sum(list_transform({c}, x -> CAST(x AS DOUBLE) * x)))"
+    return f"""
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+       round({dot} / ({norm.format(c='a.embedding')} * {norm.format(c='b.embedding')}), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({dot} / ({norm.format(c='a.embedding')} * {norm.format(c='b.embedding')}), 6) >= {NEARDUP_TAU}
+"""
+
+
 def q_ann_cosine(spark, sf_dir):
     from .operators.similarity import _dot_expr, _norm_expr
 
@@ -762,6 +790,7 @@ QUERIES = {
     "lang_stats": (q_lang_stats, _oracle_lang_stats()),
     "embed_norms": (q_embed_norms, _oracle_embed_norms()),
     "ann_cosine": (q_ann_cosine, _oracle_ann_cosine()),
+    "embed_neardup": (q_embed_neardup, _oracle_embed_neardup()),
     # rows-only (non-SQL-expressible)
     "geo_convex_hull": (q_geo_convex_hull, None),
     "geo_tube_select": (q_geo_tube_select, None),

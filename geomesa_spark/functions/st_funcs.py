@@ -518,6 +518,34 @@ def _build():
 
     reg["st_geoHash"] = (F.pandas_udf(geohash_of, T.StringType()), "geom, prec_bits")
 
+    def agg_dist_sphere(arrs: pd.Series) -> pd.Series:
+        """Total great-circle path length (m) over an array<wkb> of points —
+        st_aggregateDistanceSphere (SpatialRelationFunctions.scala:52,
+        'for use with collect_list and window functions')."""
+        out = []
+        for arr in arrs:
+            if arr is None or len(arr) < 2:
+                out.append(0.0)
+                continue
+            pts = np.array(
+                [(g.coords[0], g.coords[1]) for g in (_parse(b) for b in arr)],
+                dtype=np.float64,
+            )
+            out.append(
+                float(
+                    np.sum(
+                        G.haversine_m(
+                            pts[:-1, 0], pts[:-1, 1], pts[1:, 0], pts[1:, 1]
+                        )
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    adsph = F.pandas_udf(agg_dist_sphere, T.DoubleType())
+    for name in ("st_aggregateDistanceSphere", "st_aggregateDistanceSpheroid"):
+        reg[name] = (adsph, "array<point_wkb>")
+
     # casts (type tags live in WKB; casts validate kind) -------------------
     def cast_checked(kinds):
         def fn(g):

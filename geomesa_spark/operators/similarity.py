@@ -112,3 +112,49 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select(qid_col, id_col, "sim", "rnk")
     )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 6,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: -> (id_a, id_b, sim) with
+    id_a < id_b and cosine(sim) >= threshold.
+
+    Scale path (default): multi-table hyperplane-LSH bucket join — candidate
+    pairs share a bucket in >= 1 of ``n_tables`` tables, exact cosine refine
+    on candidates only. ``exact=True`` is the O(N^2) broadcast cross join for
+    small sides / oracle parity.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    if exact:
+        cands = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cands = None
+        for t in range(n_tables):
+            h = hyperplane_bucket_udf(dim, n_planes, t)
+            av = a.withColumn("__b", h(F.col("__va")))
+            bv = b.withColumn("__b", h(F.col("__vb")))
+            c = av.join(bv, "__b").filter(F.col("id_a") < F.col("id_b")).drop("__b")
+            cands = c if cands is None else cands.unionByName(c)
+        cands = cands.dropDuplicates(["id_a", "id_b"])
+    sim = (
+        F.expr(_dot_expr("__va", "__vb"))
+        / (F.expr(_norm_expr("__va")) * F.expr(_norm_expr("__vb")))
+    )
+    return (
+        cands.withColumn("sim", F.round(sim, 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

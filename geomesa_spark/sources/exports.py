@@ -113,6 +113,28 @@ def decode_bin(payload: bytes, with_label: bool = False) -> pd.DataFrame:
     return out
 
 
+def to_geojson_rows(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    props: list[str] | None = None,
+    out: str = "geojson",
+) -> DataFrame:
+    """One GeoJSON Feature string per row — GeoJSONExtensions analog
+    (geomesa-spark-sql/.../GeoJSONExtensions.scala), fully native:
+    ``to_json(struct(...))`` under codegen, no Python."""
+    props = props if props is not None else [c for c in df.columns if c not in (lon, lat)]
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(F.col(lon), F.col(lat)).alias("coordinates"),
+        ).alias("geometry"),
+        F.struct(*[F.col(p) for p in props]).alias("properties"),
+    )
+    return df.withColumn(out, F.to_json(feature))
+
+
 def export_arrow_ipc(df: DataFrame, path: str) -> int:
     """Write one Arrow IPC stream file per partition; returns file count.
 

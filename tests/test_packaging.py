@@ -1,0 +1,53 @@
+"""Packaging smoke: build the --py-files zip and run a real spark-submit job
+from OUTSIDE the repo (so only the zip provides the package)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def test_zip_layout(tmp_path):
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    from package_pyfiles import build
+
+    out = build(str(tmp_path / "pkg.zip"))
+    names = zipfile.ZipFile(out).namelist()
+    assert "geomesa_spark/__init__.py" in names
+    assert "geomesa_spark/operators/spatial_join.py" in names
+    assert "geomesa_spark/sources/parquet_scan.py" in names
+    assert not any("__pycache__" in n for n in names)
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_with_pyfiles(tmp_path):
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    from package_pyfiles import build
+
+    zip_path = build(str(tmp_path / "geomesa_spark.zip"))
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--py-files", zip_path,
+            os.path.join(ROOT, "scripts", "submit_job.py"),
+            "300",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # NOT the repo: the zip must provide the package
+        timeout=420,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("SUBMITRESULT ")]
+    assert lines, f"no result line; stderr tail: {proc.stderr[-1500:]}"
+    res = json.loads(lines[-1][len("SUBMITRESULT "):])
+    assert res["n_images"] > 0 and res["n_tiles"] > 0
