@@ -295,6 +295,28 @@ def cell_sql_expr(lon_col: str, lat_col: str, res: int) -> str:
     return f"(({_spread_sql(x)}) | (({_spread_sql(y)}) * 2))"
 
 
+def cell_stage_exprs(lon_col: str, lat_col: str, res: int, out: str = "cell"):
+    """Staged (column-materialized) form of :func:`cell_sql_expr` for Spark.
+
+    ``cell_sql_expr`` textually duplicates its input at every spread level, so
+    the single-expression form is ~2^5 times the base size — legal but slow to
+    analyze/codegen. This emits a list of (col_name, sql_expr) stages where
+    each stage references the PREVIOUS COLUMN, keeping every expression tiny
+    while computing bit-identical results. Apply in order with withColumn and
+    drop the intermediates (add_cell_column in operators.spatial_join does).
+    """
+    x, y = xy_sql_expr(lon_col, lat_col, res)
+    stages: list[tuple[str, str]] = [(f"__sx0_{out}", x), (f"__sy0_{out}", y)]
+    px, py = f"__sx0_{out}", f"__sy0_{out}"
+    for i, (shift, mask) in enumerate(_MASKS, start=1):
+        nx, ny = f"__sx{i}_{out}", f"__sy{i}_{out}"
+        stages.append((nx, f"(({px}) | (({px}) * {1 << shift})) & {mask}"))
+        stages.append((ny, f"(({py}) | (({py}) * {1 << shift})) & {mask}"))
+        px, py = nx, ny
+    stages.append((out, f"({px}) | (({py}) * 2)"))
+    return stages
+
+
 def parent_sql_expr(cell_col: str, res: int, parent_res: int) -> str:
     """Ancestor derivation as portable SQL: integer divide by 4^(res-parent)."""
     k = res - parent_res

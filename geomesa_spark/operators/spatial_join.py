@@ -95,6 +95,10 @@ def pick_resolution(geom: Geometry, max_res: int = DEFAULT_RES) -> int:
     # while the cover budget caps blow-up on the long dimension
     extent = max(min(lon1 - lon0, (lat1 - lat0) * 2.0), 1e-9)
     res = int(math.floor(math.log2(360.0 / extent))) + 4
+    # clamp to EVEN resolutions: polygons of different sizes then share cover
+    # levels, halving the point-side ancestor-explode factor in multi-polygon
+    # joins (each distinct cover resolution costs one probe struct per row)
+    res = res + (res & 1)  # round UP so detail never degrades
     return max(1, min(max_res, res))
 
 
@@ -127,9 +131,15 @@ def prepare_polygons(
 def add_cell_column(
     df: DataFrame, res: int, lon: str = "lon", lat: str = "lat", out: str = "cell"
 ) -> DataFrame:
-    """Z2 cell id as a native Spark SQL expression — whole-stage codegen,
-    zero Python. Same bit math as cells.encode (tested bit-identical)."""
-    return df.withColumn(out, F.expr(cells.cell_sql_expr(lon, lat, res)))
+    """Z2 cell id as native Spark SQL — whole-stage codegen, zero Python.
+    Same bit math as cells.encode (tested bit-identical); staged columns keep
+    the plan small (cells.cell_stage_exprs) instead of one 32x-duplicated
+    morton expression."""
+    stages = cells.cell_stage_exprs(lon, lat, res, out=out)
+    for name, sql in stages:
+        df = df.withColumn(name, F.expr(sql))
+    drop = [name for name, _ in stages[:-1]]
+    return df.drop(*drop)
 
 
 def _pip_refine_udf(edges: dict[str, np.ndarray], include_boundary: bool):
