@@ -586,6 +586,67 @@ FROM embeddings
 """
 
 
+GJ_HALF = 0.75  # half-size of the per-event box geometries (degrees)
+
+
+def q_geo_geom_join(spark, sf_dir):
+    """Non-point geometry join (XZ analog): every event becomes a small BOX
+    geometry around its point; join boxes to region polygons by intersects."""
+    from .core.geometry import to_wkb, box as gbox
+    from .operators.geometry_join import geometry_join
+
+    pts = _points(spark, sf_dir)
+
+    @F.pandas_udf("binary")
+    def box_wkb(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                to_wkb(gbox(lo - GJ_HALF, la - GJ_HALF, lo + GJ_HALF, la + GJ_HALF))
+                for lo, la in zip(lon, lat)
+            ]
+        )
+
+    geoms = pts.select(
+        "event_id",
+        "value",
+        box_wkb(
+            F.col("lon").cast("double"), F.col("lat").cast("double")
+        ).alias("geom"),
+    )
+    polys = {pid: _box_wkt(b) for pid, b in BOXES.items()}
+    out = geometry_join(geoms, polys, geom_col="geom", row_id="event_id")
+    return out.groupBy("poly_id").agg(
+        F.count("*").alias("n_geoms"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _oracle_geo_geom_join():
+    vals = ", ".join(
+        f"('{pid}', {x0}, {y0}, {x1}, {y1})" for pid, (x0, y0, x1, y1) in BOXES.items()
+    )
+    h = GJ_HALF
+    return f"""
+WITH pts AS (SELECT event_id, value, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+boxes(poly_id, x0, y0, x1, y1) AS (VALUES {vals})
+SELECT poly_id, CAST(count(*) AS BIGINT) AS n_geoms, round(sum(value), 4) AS sum_value
+FROM pts JOIN boxes
+  ON (lon + {h}) >= x0 AND (lon - {h}) <= x1 AND (lat + {h}) >= y0 AND (lat - {h}) <= y1
+GROUP BY poly_id
+"""
+
+
+def q_ann_ivf(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < ANN_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    return ivf_topk(emb, queries, k=ANN_K, dim=64, n_centroids=32, n_probe=6)
+
+
 NEARDUP_TAU = 0.35  # synthetic embeddings: ~99.9th pctile of pair cosine
 
 
@@ -791,6 +852,7 @@ QUERIES = {
     "embed_norms": (q_embed_norms, _oracle_embed_norms()),
     "ann_cosine": (q_ann_cosine, _oracle_ann_cosine()),
     "embed_neardup": (q_embed_neardup, _oracle_embed_neardup()),
+    "geo_geom_join": (q_geo_geom_join, _oracle_geo_geom_join()),
     # rows-only (non-SQL-expressible)
     "geo_convex_hull": (q_geo_convex_hull, None),
     "geo_tube_select": (q_geo_tube_select, None),
@@ -798,6 +860,7 @@ QUERIES = {
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "ann_lsh": (q_ann_lsh, None),
+    "ann_ivf": (q_ann_ivf, None),
     "img_tile_density": (q_img_tile_density, None),
     "img_phash_buckets": (q_img_phash_buckets, None),
 }

@@ -1,0 +1,79 @@
+"""Non-point geometry join (XZ analog): parity vs brute-force relate()."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geomesa_spark.core.geometry import box, from_wkt, relate, to_wkb
+from geomesa_spark.operators.geometry_join import geometry_join
+
+POLYS = {
+    "west": "POLYGON((-30 -20, 10 -20, 10 25, -30 25, -30 -20))",
+    "east": "POLYGON((5 -10, 40 -5, 45 30, 10 35, 5 -10))",  # non-box
+}
+
+
+def _fixture_geoms():
+    rng = np.random.default_rng(5)
+    geoms = []
+    # small boxes scattered around the polygons (some straddle edges)
+    for i in range(120):
+        cx, cy = rng.uniform(-60, 70), rng.uniform(-40, 50)
+        w, h = rng.uniform(0.5, 6, 2)
+        geoms.append((f"box{i}", box(cx, cy, cx + w, cy + h)))
+    # lines crossing / avoiding
+    for i in range(40):
+        x0, y0 = rng.uniform(-60, 70), rng.uniform(-40, 50)
+        dx, dy = rng.uniform(-15, 15, 2)
+        geoms.append(
+            (
+                f"line{i}",
+                from_wkt(f"LINESTRING({x0} {y0}, {x0+dx} {y0+dy})"),
+            )
+        )
+    return geoms
+
+
+@pytest.mark.parametrize("predicate", ["intersects", "within"])
+def test_geometry_join_parity(spark, predicate):
+    geoms = _fixture_geoms()
+    pdf = pd.DataFrame(
+        {"gid": [g[0] for g in geoms], "geom": [to_wkb(g[1]) for g in geoms]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        geometry_join(df, POLYS, geom_col="geom", row_id="gid", predicate=predicate)
+        .select("gid", "poly_id")
+        .toPandas()
+    )
+    got_pairs = set(zip(got["gid"], got["poly_id"]))
+
+    want_pairs = set()
+    parsed = {pid: from_wkt(w) for pid, w in POLYS.items()}
+    for gid, g in geoms:
+        for pid, poly in parsed.items():
+            if relate(g, poly, predicate):
+                want_pairs.add((gid, pid))
+    assert got_pairs == want_pairs
+    assert len(want_pairs) > 10  # fixture actually exercises matches
+
+
+def test_geometry_join_dedup(spark):
+    """A geometry spanning many cells must appear once per polygon."""
+    big = box(-25.0, -15.0, 8.0, 20.0)  # inside 'west', spans many cells
+    df = spark.createDataFrame(
+        pd.DataFrame({"gid": ["big"], "geom": [to_wkb(big)]})
+    )
+    out = geometry_join(df, POLYS, geom_col="geom", row_id="gid").toPandas()
+    assert list(out["poly_id"]).count("west") == 1
+
+
+def test_geometry_join_generated_rid(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"geom": [to_wkb(box(0, 0, 1, 1))], "tag": ["t"]})
+    )
+    out = geometry_join(df, POLYS, geom_col="geom").toPandas()
+    assert set(out.columns) == {"geom", "tag", "poly_id"}
+    assert set(out["poly_id"]) == {"west"}  # box(0..1) is west of east's x>=5
