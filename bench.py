@@ -89,7 +89,10 @@ def run_flagship(spark, n_images: int, reps: int = 2) -> dict:
 
     path = ensure_images_parquet(spark, n_images)
     n_in = spark.read.parquet(path).count()
-    dt = None
+    # best-of-reps after the first (warmup) execution: hypervisor steal on
+    # this VM varies run to run, and peak throughput per level is the fair
+    # basis for the scaling ratio
+    times = []
     for _ in range(max(reps, 1)):
         t0 = time.time()
         tiles = density_scan(spark, path, FLAGSHIP_POLYS, res=14, pixel_pitch_deg=1e-4)
@@ -97,7 +100,8 @@ def run_flagship(spark, n_images: int, reps: int = 2) -> dict:
             F.sum("weight").alias("weight"), F.count("*").alias("n")
         )
         _noop_write(agg)
-        dt = time.time() - t0
+        times.append(time.time() - t0)
+    dt = min(times[1:]) if len(times) > 1 else times[0]
     # join cardinality via the slim DataFrame-native path (column-pruned scan)
     slim = scan_parquet_arrow(spark, path, columns=["image_id", "lon", "lat"])
     n_join = spatial_join(slim, FLAGSHIP_POLYS).count()
@@ -190,7 +194,7 @@ def _scaling_child(cpus: int, n_images: int) -> None:
     spark = get_spark(cpus=cpus, app=f"geomesa-scale-{cpus}")
     # warmup: JVM + codegen + python worker imports
     run_flagship(spark, 2000, reps=1)
-    res = run_flagship(spark, n_images, reps=2)
+    res = run_flagship(spark, n_images, reps=4)
     print("SCALERESULT " + json.dumps(res))
     spark.stop()
 
@@ -221,9 +225,12 @@ def run_mp_control(path: str, procs: int) -> float:
     splits = [(f, rg) for f, rg, _ in list_row_groups(path)]
     with mp.Pool(procs) as pool:  # warmup: imports in workers
         pool.map(_mp_control_worker, splits[:procs])
-        t0 = time.time()
-        pool.map(_mp_control_worker, splits)
-        return time.time() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            pool.map(_mp_control_worker, splits)
+            times.append(time.time() - t0)
+        return min(times)
 
 
 def run_scaling(n_images: int = 600_000) -> dict:

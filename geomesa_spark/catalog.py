@@ -46,7 +46,12 @@ def _load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _load(spark, sf_dir, "events")
-    return events.withColumn("lon", F.expr(LON_SQL)).withColumn("lat", F.expr(LAT_SQL))
+    # cast the decimal division result to double: decimal arithmetic through
+    # the morton bit expressions is ~10x slower (measured 6.8s -> 0.75s on
+    # geo_pip_join at sf0.1); the 5e-5 boundary margins dwarf double error
+    return events.withColumn("lon", F.expr(LON_SQL).cast("double")).withColumn(
+        "lat", F.expr(LAT_SQL).cast("double")
+    )
 
 
 # --- geometry literals (edges end in ...00005: off the 1e-4 data grid) -------
