@@ -246,6 +246,45 @@ SELECT query_id, event_id, rnk FROM r WHERE rnk <= {KNN_K}
 """
 
 
+def q_geo_knn_sphere(spark, sf_dir):
+    """Spherical (haversine) kNN — the reference's metric; planar variant
+    above exercises bit-identical parity, this one exercises the geodesic."""
+    pts = _points(spark, sf_dir)
+    qids = np.arange(KNN_NQ)
+    qlon, qlat = _lonlat_np(qids)
+    queries = pd.DataFrame({"query_id": qids.astype(np.int64), "lon": qlon, "lat": qlat})
+    out = knn_join(
+        pts, queries, k=KNN_K, point_id="event_id",
+        metric="haversine", res=8, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("event_id").cast("long"),
+        F.col("rnk").cast("int"),
+    )
+
+
+def _oracle_geo_knn_sphere():
+    dist = (
+        "2 * 6371008.8 * asin(sqrt("
+        "pow(sin(radians(p.lat - q.qlat) / 2), 2) + "
+        "cos(radians(q.qlat)) * cos(radians(p.lat)) * "
+        "pow(sin(radians(p.lon - q.qlon) / 2), 2)))"
+    )
+    return f"""
+WITH pts AS (SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+q AS (SELECT event_id AS query_id, lon AS qlon, lat AS qlat FROM pts WHERE event_id < {KNN_NQ}),
+d AS (
+  SELECT q.query_id, p.event_id, {dist} AS dist
+  FROM pts p CROSS JOIN q WHERE p.event_id <> q.query_id
+),
+r AS (SELECT query_id, event_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, event_id ASC) AS INTEGER) AS rnk
+      FROM d)
+SELECT query_id, event_id, rnk FROM r WHERE rnk <= {KNN_K}
+"""
+
+
 def q_geo_track_segments(spark, sf_dir):
     pts = _points(spark, sf_dir)
     segs = point2point(pts, track="user_id", ts="ts", order_tiebreak="event_id")
@@ -838,6 +877,7 @@ QUERIES = {
     "geo_tile_density": (q_geo_tile_density, _oracle_geo_tile_density()),
     "geo_timebin_cells": (q_geo_timebin_cells, _oracle_geo_timebin_cells()),
     "geo_knn": (q_geo_knn, _oracle_geo_knn()),
+    "geo_knn_sphere": (q_geo_knn_sphere, _oracle_geo_knn_sphere()),
     "geo_track_segments": (q_geo_track_segments, _oracle_geo_track_segments()),
     "geo_sample_nth": (q_geo_sample_nth, _oracle_geo_sample_nth()),
     "geo_proximity_join": (q_geo_proximity_join, _oracle_geo_proximity_join()),

@@ -6,7 +6,7 @@ metadata. This container has no PIL/libjpeg, so:
 - ``raw``  — uncompressed RGB, h*w*3 bytes, row-major. Lossless.
 - ``png``  — real PNG (8-bit truecolor), encoded/decoded from scratch with
   stdlib zlib + struct (spec: W3C PNG). Lossless; decoder handles filter
-  types 0-4, our encoder emits filter 0 + 2 (none/up) per row heuristically.
+  types 0-4; our encoder emits filter 0 (None) rows — decode covers the full spec.
 - ``qjz``  — *deterministic lossy stand-in for JPEG* (the real JPEG codec is
   STUBBED — see :func:`decode_jpeg`). Quantizes each channel to step ``q``
   then zlib-compresses. With q=4 the reconstruction PSNR is ~47 dB, so the

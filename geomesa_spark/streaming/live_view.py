@@ -109,6 +109,77 @@ def foreach_batch_upsert(store_path: str, keys: list[str] | str, event_time: str
     return apply
 
 
+def stateful_live_view(
+    stream_df: DataFrame,
+    key: str,
+    event_time: str,
+    schema_ddl: str,
+):
+    """Custom stateful upsert cache via ``applyInPandasWithState`` — the
+    explicit state-machine form of :func:`live_view` for pipelines that need
+    per-key side effects or emit-on-change semantics (the reference's cache
+    emits only actual updates to listeners, KafkaFeatureCacheImpl.scala:72-130).
+
+    State per key = the newest row (as a JSON blob) + its event time. A
+    micro-batch row older than the state is DROPPED (no output, state
+    untouched) — the event-time ordering guard made observable: downstream
+    sees one output row per real change, not per input message.
+
+    ``schema_ddl`` must be the stream's schema (used for output + state).
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cols = [f.strip().split()[0] for f in schema_ddl.split(",")]
+
+    def update(key_tuple, pdfs, state: GroupState):
+        newest_ts = None
+        newest_row = None
+        if state.exists:
+            stored_ts, stored_json = state.get
+            newest_ts = stored_ts
+            newest_row = json.loads(stored_json)
+        changed = False
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(event_time).iterrows():
+                ts_val = row[event_time]
+                ts_num = ts_val.timestamp() if hasattr(ts_val, "timestamp") else float(ts_val)
+                if newest_ts is None or ts_num > newest_ts:
+                    newest_ts = ts_num
+                    newest_row = {c: _jsonable(row[c]) for c in cols}
+                    changed = True
+        if changed:
+            state.update((float(newest_ts), json.dumps(newest_row)))
+            out = pd.DataFrame([newest_row])
+            out[event_time] = pd.to_datetime(out[event_time])
+            yield out
+
+    return stream_df.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=schema_ddl,
+        stateStructType="ts double, payload string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _jsonable(v):
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, (np.bool_,)):
+        return bool(v)
+    return v
+
+
 def start_live_query(
     stream_df: DataFrame,
     keys: list[str] | str,

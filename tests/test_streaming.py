@@ -158,3 +158,55 @@ def test_foreach_batch_upsert_persistence(spark, tmp_path):
     stored = spark.read.parquet(store).toPandas()
     got = {r.fid: r.lon for r in stored.itertuples(index=False)}
     assert got == {"a": 5.0, "b": 6.0}
+
+
+def test_stateful_live_view_emits_only_changes(spark, tmp_path):
+    """applyInPandasWithState custom operator: one output row per REAL
+    change; stale updates produce no output at all."""
+    from geomesa_spark.streaming.live_view import stateful_live_view
+
+    src = tmp_path / "src3"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt3")
+    spark.createDataFrame(
+        _chunk(
+            [
+                ("a", 1.0, 1.0, "2024-01-01 00:00:00", False),
+                ("b", 5.0, 5.0, "2024-01-01 00:00:30", False),
+            ]
+        ),
+        schema=SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    view = stateful_live_view(stream, "fid", "ts", SCHEMA)
+    q = (
+        view.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_t1")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) AS n FROM stateful_t1").collect()[0].n
+        assert n1 == 2  # two keys, two emissions
+
+        # stale update for a (older ts) + fresh update for b
+        spark.createDataFrame(
+            _chunk(
+                [
+                    ("a", 9.0, 9.0, "2023-12-31 00:00:00", False),  # stale
+                    ("b", 6.0, 6.0, "2024-01-01 01:00:00", False),  # change
+                ]
+            ),
+            schema=SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT fid, lon FROM stateful_t1").collect()
+        # exactly ONE new emission (b's change); the stale 'a' emitted nothing
+        assert len(rows) == 3
+        lons = sorted((r.fid, r.lon) for r in rows)
+        assert lons == [("a", 1.0), ("b", 5.0), ("b", 6.0)]
+    finally:
+        q.stop()
