@@ -519,6 +519,109 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q3(spark, sf_dir):
+    cust, orders, li = _load(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < "1997-03-15")
+            & (F.col("l_shipdate") > "1997-03-15")
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            # revenue in exact ten-thousandths: price/discount have <= 4
+            # decimals, so sum*1e4 is within 1e-6 of an integer in BOTH
+            # engines -- decimal rounding of doubles at .xx5 midpoints is
+            # engine-dependent, integer rounding here never sees a midpoint
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+            ).cast("long").alias("revenue_e4")
+        )
+    )
+
+
+def _oracle_tpch_q3():
+    return """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS revenue_e4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    cust, orders, li, supp, nation, region = _load(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, (li["l_suppkey"] == supp["s_suppkey"])
+              & (cust["c_nationkey"] == supp["s_nationkey"]))
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def _oracle_tpch_q5():
+    return """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q6(spark, sf_dir):
+    (li,) = _load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def _oracle_tpch_q6():
+    return """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def q_join_revenue_by_nation(spark, sf_dir):
     cust, orders, nation = _load(spark, sf_dir, "customer", "orders", "nation")
     return (
@@ -889,6 +992,9 @@ QUERIES = {
     "stats_minmax": (q_stats_minmax, _oracle_stats_minmax()),
     "stats_descriptive": (q_stats_descriptive, _oracle_stats_descriptive()),
     "tpch_q1": (q_tpch_q1, _oracle_tpch_q1()),
+    "tpch_q3": (q_tpch_q3, _oracle_tpch_q3()),
+    "tpch_q5": (q_tpch_q5, _oracle_tpch_q5()),
+    "tpch_q6": (q_tpch_q6, _oracle_tpch_q6()),
     "join_revenue_by_nation": (q_join_revenue_by_nation, _oracle_join_revenue_by_nation()),
     "dedup_exact": (q_dedup_exact, _oracle_dedup_exact()),
     "text_quality": (q_text_quality, _oracle_text_quality()),
