@@ -1,0 +1,9 @@
+"""Streaming live views (upsert cache, TTL, lambda merge)."""
+
+from .live_view import (  # noqa: F401
+    expire_ttl,
+    foreach_batch_upsert,
+    live_view,
+    merged_view,
+    stateful_live_view,
+)
