@@ -954,6 +954,32 @@ def q_img_tile_density(spark, sf_dir):
     return tile_density(imgs, res=12, pixel_pitch_deg=1e-4)
 
 
+def q_img_density_scan(spark, sf_dir):
+    """Fused density scan (the flagship operator): image parquet -> cell-cover
+    PIP filter + decode + tile assignment inside one Arrow scan stage."""
+    import os
+
+    from .sources.images import images_df
+    from .sources.parquet_scan import density_scan
+
+    (events,) = _load(spark, sf_dir, "events")
+    n = min(events.count(), 4000)
+    path = f"/tmp/spark_graft_catalog/images_{n}.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        images_df(spark, int(n)).write.mode("overwrite").parquet(path)
+    polys = {
+        "nyc": "POLYGON((-74.6 40.2, -73.4 40.2, -73.4 41.2, -74.6 41.2, -74.6 40.2))",
+        "paris": "POLYGON((1.8 48.3, 2.9 48.3, 2.9 49.4, 1.8 49.4, 1.8 48.3))",
+        "tokyo": "POLYGON((139.1 35.1, 140.3 35.1, 140.3 36.3, 139.1 36.3, 139.1 35.1))",
+    }
+    tiles = density_scan(spark, path, polys, res=14, pixel_pitch_deg=1e-4)
+    return tiles.groupBy("poly_id").agg(
+        F.countDistinct("image_id").alias("n_images"),
+        F.countDistinct("tile_cell").alias("n_tiles"),
+        F.round(F.sum("weight"), 2).alias("total_weight"),
+    )
+
+
 def q_img_phash_buckets(spark, sf_dir):
     """Near-dup image buckets by phash prefix (hamming-LSH chunks)."""
     from .sources.images import images_df
@@ -1013,5 +1039,6 @@ QUERIES = {
     "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),
     "img_tile_density": (q_img_tile_density, None),
+    "img_density_scan": (q_img_density_scan, None),
     "img_phash_buckets": (q_img_phash_buckets, None),
 }
