@@ -233,7 +233,7 @@ def run_mp_control(path: str, procs: int) -> float:
         return min(times)
 
 
-def run_scaling(n_images: int = 600_000) -> dict:
+def run_scaling(n_images: int = 1_200_000) -> dict:
     out = {}
     for cpus in (8, 32):
         proc = subprocess.run(
