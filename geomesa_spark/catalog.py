@@ -147,9 +147,13 @@ CELL_RES = 8
 
 
 def q_geo_cell_density(spark, sf_dir):
+    # staged cell columns (cell_stage_exprs) instead of the monolithic
+    # expression: bit-identical, but ~32x smaller plan to analyze/codegen
+    from .operators.spatial_join import add_cell_column
+
     pts = _points(spark, sf_dir)
     return (
-        pts.select(F.expr(cells.cell_sql_expr("lon", "lat", CELL_RES)).alias("cell"), "value")
+        add_cell_column(pts, CELL_RES, out="cell")
         .groupBy("cell")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
@@ -184,11 +188,14 @@ FROM pts GROUP BY 1, 2
 
 def q_geo_timebin_cells(spark, sf_dir):
     """Z3 analog: (epoch-week bin, coarse cell) density."""
+    from .operators.spatial_join import add_cell_column
+
     pts = _points(spark, sf_dir)
     return (
-        pts.select(
+        add_cell_column(pts, 4, out="cell")
+        .select(
             F.expr("cast(floor(unix_timestamp(ts) / 604800) as bigint)").alias("week_bin"),
-            F.expr(cells.cell_sql_expr("lon", "lat", 4)).alias("cell"),
+            "cell",
         )
         .groupBy("week_bin", "cell")
         .agg(F.count("*").alias("n"))

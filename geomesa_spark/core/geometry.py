@@ -744,9 +744,19 @@ def buffer_point_deg(lon: float, lat: float, meters: float, n: int = 100) -> Geo
 
     st_bufferPoint analog (``GeometricProcessingFunctions.scala:59-62``):
     meters -> degrees via latitude-corrected scale, n-point circle.
+
+    Conservative by construction: the longitude scale uses the WORST-CASE
+    latitude inside the buffered band (``|lat| + dlat``, i.e. the smallest
+    cosine any point of the true geodesic disc can see), so the polygon always
+    contains the true disc — at high latitudes a center-latitude cosine
+    under-covers by up to ~30% (lat 80, 600 km), silently dropping rows before
+    any exact refine. Over-coverage is safe everywhere this is used: callers
+    (proximity/tube/route joins) treat the polygon as an index prefilter and
+    apply an exact distance refine afterwards.
     """
     dlat = math.degrees(meters / EARTH_RADIUS_M)
-    dlon = dlat / max(math.cos(math.radians(lat)), 1e-6)
+    worst_lat = min(abs(lat) + dlat, 89.999999)
+    dlon = dlat / max(math.cos(math.radians(worst_lat)), 1e-6)
     angles = np.linspace(0, 2 * math.pi, n, endpoint=False)
     xs = lon + dlon * np.cos(angles)
     ys = np.clip(lat + dlat * np.sin(angles), -90.0, 90.0)

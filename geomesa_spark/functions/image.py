@@ -184,13 +184,10 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 # ---------------------------------------------------------------------------
-# perceptual hash (DCT pHash, 64-bit)
+# perceptual hash (block-mean aHash, 64-bit)
 # ---------------------------------------------------------------------------
 
-_DCT_N = 32
-_k = np.arange(_DCT_N)
-_DCT_M = np.sqrt(2.0 / _DCT_N) * np.cos(np.pi * (2 * _k[None, :] + 1) * _k[:, None] / (2 * _DCT_N))
-_DCT_M[0] *= 1.0 / np.sqrt(2.0)
+_DCT_N = 32  # gray downsample size feeding the 8x8 block means
 
 
 def _to_gray_32(arr: np.ndarray) -> np.ndarray:

@@ -74,10 +74,16 @@ def density(
 def cell_density(df: DataFrame, res: int, lon: str = "lon", lat: str = "lat",
                  weight: str | None = None) -> DataFrame:
     """-> (cell, n, weight): global density keyed by Z2 cell (heatmap tiles at
-    a zoom level). Pure native expressions."""
+    a zoom level). Pure native expressions; the cell id is built through the
+    STAGED column form (cells.cell_stage_exprs) — the monolithic expression
+    duplicates the normalize sub-expression ~32x and costs real analyze/
+    codegen time (measured ~2.2s -> ~0.9s on geo_cell_density at sf0.1)."""
+    from .spatial_join import add_cell_column
+
     w_expr = F.col(weight).cast("double") if weight else F.lit(1.0)
+    with_cell = add_cell_column(df, res, lon, lat, out="cell")
     return (
-        df.select(F.expr(cells.cell_sql_expr(lon, lat, res)).alias("cell"), w_expr.alias("__w"))
+        with_cell.select("cell", w_expr.alias("__w"))
         .groupBy("cell")
         .agg(F.count("*").alias("n"), F.sum("__w").alias("weight"))
     )

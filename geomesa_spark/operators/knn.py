@@ -33,6 +33,8 @@ from ..core import cells
 
 M_PER_DEG = 111194.93  # meters per degree of latitude at EARTH_RADIUS_M
 
+MAX_CLIENT_QUERIES = 100_000  # hard guard on the driver-side query set
+
 
 def _guarantee_m(radius: int, res: int, qlat: np.ndarray) -> np.ndarray:
     """Distance lower bound to any point outside Chebyshev ``radius`` cells."""
@@ -70,6 +72,12 @@ def knn_join(
     ``queries_pdf`` is a driver-side pandas frame (the reference's KNN is
     likewise a client-driven process over a query feature collection).
     """
+    if len(queries_pdf) > MAX_CLIENT_QUERIES:
+        raise ValueError(
+            f"knn_join is the client-driven process analog (per-round driver "
+            f"top-k is bounded by Q*k); got Q={len(queries_pdf)} > "
+            f"{MAX_CLIENT_QUERIES}. Use knn_join_table for table-scale Q."
+        )
     spark = points.sparkSession
     q = queries_pdf[[query_id, qlon, qlat]].copy()
     q["__qcell"] = cells.encode(q[qlon].to_numpy(), q[qlat].to_numpy(), res)

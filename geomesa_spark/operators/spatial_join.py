@@ -269,13 +269,19 @@ def spatial_join(
         )
     else:
         # salted shuffle join: replicate cover rows x salt_buckets, route
-        # points by deterministic hash so hot cells spread across buckets
+        # points by a PER-ROW hash (never the join key itself — a key-derived
+        # salt sends every row of a hot cell to the same bucket and splits
+        # nothing). Reference precedent: the shard byte hashes the feature id,
+        # not the z-key (ShardStrategy.scala:71-79, WritableFeature.scala:51);
+        # here lon/lat stand in for the id so the salt needs no extra column.
         salted_cov = cov_df.withColumn(
             "__csalt", F.explode(F.array(*[F.lit(s) for s in range(salt_buckets)]))
         )
         pts = pts.withColumn(
             "__salt",
-            F.pmod(F.xxhash64(F.col("__a.anc"), F.lit(17)), F.lit(salt_buckets)).cast("int"),
+            F.pmod(
+                F.xxhash64(F.col(lon), F.col(lat), F.lit(17)), F.lit(salt_buckets)
+            ).cast("int"),
         )
         out = (
             pts.join(

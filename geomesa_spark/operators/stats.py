@@ -101,15 +101,16 @@ def z3_histogram(
     """Z3Histogram analog (stats/Z3Histogram.scala): counts per
     (epoch time bin, coarse z cell) — the selectivity surface the reference's
     cost estimator reads (StatsBasedEstimator.scala:49-128)."""
-    from ..core import cells
+    from .spatial_join import add_cell_column
 
     secs = {"day": 86400, "week": 7 * 86400}[period]
     return (
-        df.select(
+        add_cell_column(df, res, lon, lat, out="cell")
+        .select(
             F.expr(
                 f"cast(floor(cast(cast({ts} as timestamp) as long) / {secs}) as bigint)"
             ).alias("time_bin"),
-            F.expr(cells.cell_sql_expr(lon, lat, res)).alias("cell"),
+            "cell",
         )
         .groupBy("time_bin", "cell")
         .agg(F.count("*").alias("n"))

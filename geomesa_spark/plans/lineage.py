@@ -49,6 +49,17 @@ def completed_buckets(path: str) -> set[int]:
     return done
 
 
+def _bucket_row_count(bucket_dir: str) -> int:
+    """Row count from parquet footer metadata only — no data pages read."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(bucket_dir):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(bucket_dir, f)).metadata.num_rows
+    return total
+
+
 def checkpointed_write(
     df: DataFrame,
     path: str,
@@ -59,28 +70,42 @@ def checkpointed_write(
     """Write ``df`` sharded into ``n_buckets`` by ``bucket_col`` hash, skipping
     buckets already recorded in the manifest. Returns metrics.
 
+    SINGLE input scan regardless of ``n_buckets``: the missing buckets are
+    written in ONE ``partitionBy("bucket")`` job (dynamic partition overwrite,
+    so a crashed run's partial bucket dirs are replaced and completed buckets
+    are untouched), then the manifest is stamped from the produced directories
+    with footer-metadata row counts. A per-bucket filter loop would re-scan
+    the full input once per bucket — 256 buckets = 256 table reads at 100 TB.
+
     Each bucket is one atomic unit of progress: parquet dir + manifest entry
-    with row count and wall time (the per-partition metrics record)."""
+    with row count (the per-partition metrics record); resume re-writes only
+    buckets missing from the manifest."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
     done = completed_buckets(path)
     metrics = {"run_id": run_id, "skipped": sorted(done), "written": []}
+    missing = [b for b in range(n_buckets) if b not in done]
+    if not missing:
+        return metrics
+    # dedicated partition column: no leading underscore (hive readers treat
+    # "_"-prefixed dirs as hidden) and never clobbers a user column
     bucketed = df.withColumn(
-        "__bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
+        "ckpt_bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
     )
-    for b in range(n_buckets):
-        if b in done:
-            continue
-        t0 = time.time()
-        part = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
-        out_dir = os.path.join(path, f"bucket={b}")
-        part.write.mode("overwrite").parquet(out_dir)
-        n = part.sparkSession.read.parquet(out_dir).count()
-        entry = {
-            "bucket": b,
-            "rows": int(n),
-            "seconds": round(time.time() - t0, 3),
-            "run_id": run_id,
-        }
+    if done:
+        bucketed = bucketed.filter(~F.col("ckpt_bucket").isin(sorted(done)))
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    t0 = time.time()
+    try:
+        bucketed.write.mode("overwrite").partitionBy("ckpt_bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    elapsed = round(time.time() - t0, 3)
+    for b in missing:
+        out_dir = os.path.join(path, f"ckpt_bucket={b}")
+        rows = _bucket_row_count(out_dir) if os.path.isdir(out_dir) else 0
+        entry = {"bucket": b, "rows": int(rows), "seconds": elapsed, "run_id": run_id}
         with open(os.path.join(_manifest_dir(path), f"bucket_{b}.json"), "w") as fh:
             json.dump(entry, fh)
         metrics["written"].append(entry)
@@ -88,4 +113,6 @@ def checkpointed_write(
 
 
 def read_checkpointed(spark, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "bucket=*"))
+    return spark.read.option("basePath", path).parquet(
+        os.path.join(path, "ckpt_bucket=*")
+    )

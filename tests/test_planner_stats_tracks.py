@@ -140,3 +140,45 @@ class TestLineage:
 
         back = read_checkpointed(spark, path)
         assert back.count() == 100
+
+    def test_single_scan_and_untouched_resume(self, spark, tmp_path):
+        """One input scan per checkpointed_write call regardless of bucket
+        count (proved by an accumulator counting row visits), and resume
+        leaves completed bucket files byte-untouched."""
+        import os
+
+        import pandas as pd
+
+        path = str(tmp_path / "ckpt2")
+        acc = spark.sparkContext.accumulator(0)
+
+        def counted(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        df = (
+            spark.range(200)
+            .withColumn("k", (F.col("id") % 7).cast("int"))
+            .mapInPandas(counted, schema="id long, k int")
+        )
+        m1 = checkpointed_write(df, path, bucket_col="k", n_buckets=16)
+        assert len(m1["written"]) == 16
+        assert acc.value == 200, f"input scanned {acc.value / 200:.1f}x, want 1x"
+
+        # simulate a crash: drop manifests for two buckets, then resume
+        for b in (3, 5):
+            os.remove(os.path.join(path, "_manifest", f"bucket_{b}.json"))
+        snapshot = {}
+        for d in os.listdir(path):
+            if d.startswith("ckpt_bucket=") and d not in (
+                "ckpt_bucket=3", "ckpt_bucket=5"
+            ):
+                for f in os.listdir(os.path.join(path, d)):
+                    fp = os.path.join(path, d, f)
+                    snapshot[fp] = os.stat(fp).st_mtime_ns
+        m2 = checkpointed_write(df, path, bucket_col="k", n_buckets=16)
+        assert sorted(e["bucket"] for e in m2["written"]) == [3, 5]
+        for fp, mt in snapshot.items():
+            assert os.stat(fp).st_mtime_ns == mt, f"completed bucket touched: {fp}"
+        assert read_checkpointed(spark, path).count() == 200

@@ -133,3 +133,31 @@ def test_convex_hull_grouped(spark):
     assert len(out) == 2
     wk = dict(zip(out["g"], out["hull_wkt"]))
     assert "POLYGON" in wk["a"] and "POLYGON" in wk["b"]
+
+
+def test_proximity_high_latitude_no_drops(spark):
+    """The cell-cover prefilter must be conservative at high latitude: at
+    lat 75-80 with 500-600 km radii a center-latitude cos() under-covers the
+    true geodesic disc by 18-30% (buffer_point_deg now uses the worst-case
+    latitude in the buffered band). Parity vs exact haversine."""
+    rng = np.random.default_rng(11)
+    n = 3000
+    sites = {"svalbard": (15.0, 78.0), "reykjavik": (-21.9, 64.1)}
+    radius = 600_000.0
+    # sample densely around the sites so the disc boundary is well probed
+    centers = np.array(list(sites.values()))
+    pick = rng.integers(0, len(centers), n)
+    lon = centers[pick, 0] + rng.uniform(-40, 40, n)
+    lat = np.clip(centers[pick, 1] + rng.uniform(-8, 8, n), -90, 90)
+    pdf = pd.DataFrame({"pid": np.arange(n), "lon": lon, "lat": lat})
+
+    out = proximity_join(spark.createDataFrame(pdf), sites, radius)
+    got = {(int(r.pid), r.site_id) for r in out.select("pid", "site_id").collect()}
+
+    expect = set()
+    for sid, (slon, slat) in sites.items():
+        d = haversine_m(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), slon, slat)
+        expect |= {(int(p), sid) for p in pdf.loc[d <= radius, "pid"]}
+    missing = expect - got
+    assert not missing, f"prefilter dropped {len(missing)} in-radius rows"
+    assert got == expect

@@ -105,3 +105,35 @@ def test_adaptive_resolution():
     world = from_wkt("POLYGON((-170 -80, 170 -80, 170 80, -170 80, -170 -80))")
     assert pick_resolution(tiny) == 14  # clamped at max
     assert pick_resolution(world) <= 4
+
+
+def test_salted_shuffle_splits_hot_cell(spark):
+    """The salt must be a PER-ROW hash, not a function of the join key: every
+    row of one hot cell must spread across >= salt_buckets/2 post-join
+    partitions (ShardStrategy.scala:71-79 analog — the shard byte hashes the
+    feature id, never the z-key)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    # all rows within ~100 m of one point -> one res-14 cell (hot cell)
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"i{i}" for i in range(n)],
+            "lon": -74.006 + rng.uniform(-5e-4, 5e-4, n),
+            "lat": 40.713 + rng.uniform(-5e-4, 5e-4, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # no coalescing
+    try:
+        out = spatial_join(
+            df, {"nyc": POLYS["nyc_box"]}, strategy="shuffle", salt_buckets=8
+        ).withColumn("pid", F.spark_partition_id())
+        pids = out.select("pid").toPandas()["pid"]
+        assert len(pids) == n  # parity: every row matches the box
+        assert pids.nunique() >= 4, f"hot cell landed in {pids.nunique()} partitions"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
