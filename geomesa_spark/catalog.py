@@ -915,26 +915,64 @@ def q_geo_convex_hull(spark, sf_dir):
     return convex_hull(pts, by="event_type")
 
 
+TUBE_T0 = 1704067200  # 2024-01-01
+TUBE_BUFFER_M = 2_000_000.0
+
+
+def _tube_track() -> pd.DataFrame:
+    """4-week eastbound track across the events' Jan-2024 window."""
+    return pd.DataFrame(
+        {
+            "lon": np.linspace(-74.0, 139.0, 28),
+            "lat": np.linspace(40.7, 35.7, 28),
+            "ts_s": TUBE_T0 + np.arange(28) * 86400.0,
+        }
+    )
+
+
 def q_geo_tube_select(spark, sf_dir):
     from .operators.tracks import tube_select
 
     pts = _points(spark, sf_dir)
-    # deterministic synthetic track: great-circle-ish path over 6 hours
-    # 4-week eastbound track across the events' Jan-2024 window; generous
-    # buffer + week bins so every bin catches points at sf>=0.01
-    t0 = 1704067200  # 2024-01-01
-    track = pd.DataFrame(
-        {
-            "lon": np.linspace(-74.0, 139.0, 28),
-            "lat": np.linspace(40.7, 35.7, 28),
-            "ts_s": t0 + np.arange(28) * 86400,
-        }
-    )
     pts = pts.withColumn("ts_s", F.col("ts").cast("timestamp").cast("long"))
-    out = tube_select(
-        pts, track, buffer_m=2_000_000.0, time_bin_s=7 * 86400, ts="ts_s"
+    out = tube_select(pts, _tube_track(), buffer_m=TUBE_BUFFER_M, ts="ts_s")
+    return out.groupBy("seg_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("tube_dist_m"), 3).alias("avg_dist_m"),
     )
-    return out.groupBy("poly_id").agg(F.count("*").alias("n"))
+
+
+def _oracle_geo_tube_select():
+    from .operators.tracks import track_segments, tube_interp_dist_sql
+
+    segs = track_segments(_tube_track(), "lon", "lat", "ts_s")
+    last = len(segs) - 1
+    vals = ", ".join(
+        f"({int(r.seg_id)}, {r.t0!r}, {r.t1!r}, {r.lon0!r}, {r.lat0!r}, "
+        f"{r.lon1!r}, {r.lat1!r})"
+        for r in segs.itertuples(index=False)
+    )
+    dist = tube_interp_dist_sql("ts_s", "lon", "lat")
+    return f"""
+WITH pts AS (SELECT CAST(floor(epoch(ts)) AS DOUBLE) AS ts_s, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+segs(seg_id, t0, t1, lon0, lat0, lon1, lat1) AS (VALUES {vals}),
+j AS (
+  SELECT seg_id, {dist} AS tube_dist_m
+  FROM pts JOIN segs
+    ON ts_s >= t0 AND (ts_s < t1 OR (seg_id = {last} AND ts_s <= t1))
+)
+SELECT CAST(seg_id AS BIGINT) AS seg_id, CAST(count(*) AS BIGINT) AS n,
+       round(avg(tube_dist_m), 3) AS avg_dist_m
+FROM j WHERE tube_dist_m <= {TUBE_BUFFER_M!r} GROUP BY seg_id
+"""
+
+
+ROUTE_BUFFER_M = 500_000.0
+ROUTE_HEADING_TOL = 60.0
+
+
+def _route_pdf() -> pd.DataFrame:
+    return pd.DataFrame({"lon": np.linspace(-20.0, 20.0, 9), "lat": np.zeros(9)})
 
 
 def q_geo_route_search(spark, sf_dir):
@@ -943,9 +981,37 @@ def q_geo_route_search(spark, sf_dir):
     pts = _points(spark, sf_dir)
     # deterministic heading derived from event_id; equatorial eastbound route
     pts = pts.withColumn("heading", (F.col("event_id") % 360).cast("double"))
-    route = pd.DataFrame({"lon": np.linspace(-20.0, 20.0, 9), "lat": np.zeros(9)})
-    out = route_search(pts, route, buffer_m=500_000.0, heading_tol_deg=60.0)
-    return out.groupBy("route_segment").agg(F.count("*").alias("n"))
+    out = route_search(
+        pts, _route_pdf(), buffer_m=ROUTE_BUFFER_M, heading_tol_deg=ROUTE_HEADING_TOL
+    )
+    return out.groupBy("route_segment").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("route_dist_m"), 3).alias("avg_dist_m"),
+    )
+
+
+def _oracle_geo_route_search():
+    from .operators.tracks import heading_diff_sql, seg_dist_sql, track_segments
+
+    segs = track_segments(_route_pdf(), "lon", "lat")
+    vals = ", ".join(
+        f"('seg_{int(r.seg_id)}', {r.lon0!r}, {r.lat0!r}, {r.lon1!r}, {r.lat1!r}, "
+        f"{r.coslat!r}, {r.bearing!r})"
+        for r in segs.itertuples(index=False)
+    )
+    dist = seg_dist_sql("lon", "lat")
+    hd = heading_diff_sql("heading")
+    return f"""
+WITH pts AS (SELECT CAST(event_id % 360 AS DOUBLE) AS heading,
+                    {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+segs(route_segment, lon0, lat0, lon1, lat1, coslat, bearing) AS (VALUES {vals}),
+j AS (SELECT route_segment, {dist} AS route_dist_m, {hd} AS hdiff
+      FROM pts CROSS JOIN segs)
+SELECT route_segment, CAST(count(*) AS BIGINT) AS n,
+       round(avg(route_dist_m), 3) AS avg_dist_m
+FROM j WHERE route_dist_m <= {ROUTE_BUFFER_M!r} AND hdiff <= {ROUTE_HEADING_TOL!r}
+GROUP BY route_segment
+"""
 
 
 def q_img_tile_density(spark, sf_dir):
@@ -1039,8 +1105,8 @@ QUERIES = {
     "geo_geom_join": (q_geo_geom_join, _oracle_geo_geom_join()),
     # rows-only (non-SQL-expressible)
     "geo_convex_hull": (q_geo_convex_hull, None),
-    "geo_tube_select": (q_geo_tube_select, None),
-    "geo_route_search": (q_geo_route_search, None),
+    "geo_tube_select": (q_geo_tube_select, _oracle_geo_tube_select()),
+    "geo_route_search": (q_geo_route_search, _oracle_geo_route_search()),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "ann_lsh": (q_ann_lsh, None),

@@ -182,3 +182,54 @@ class TestLineage:
         for fp, mt in snapshot.items():
             assert os.stat(fp).st_mtime_ns == mt, f"completed bucket touched: {fp}"
         assert read_checkpointed(spark, path).count() == 200
+
+
+def test_route_search_exact_corridor(spark):
+    """Over-inclusion fix: a point laterally outside buffer_m but inside the
+    old midpoint-disc (radius buffer + seg_len/2) must now be excluded; the
+    exact point-to-segment refine keeps only true corridor members."""
+    route = pd.DataFrame({"lon": [0.0, 4.0], "lat": [0.0, 0.0]})  # ~445 km seg
+    pts = pd.DataFrame(
+        {
+            "pid": [1, 2, 3],
+            "lon": [2.0, 2.0, 2.0],
+            # 1: 10 km off-route (in); 2: 80 km off (out, though inside the
+            # old disc of radius 50+222 km); 3: past the end cap
+            "lat": [0.09, 0.72, 0.0],
+            "heading": [90.0, 90.0, 90.0],
+        }
+    )
+    pts.loc[2, "lon"] = 5.0  # 111 km beyond the segment end
+    out = route_search(
+        spark.createDataFrame(pts), route, buffer_m=50_000, heading_tol_deg=30
+    )
+    rows = {r.pid: r.route_dist_m for r in out.collect()}
+    assert set(rows) == {1}
+    assert abs(rows[1] - 0.09 * 111194.93) < 200
+
+
+def test_tube_select_interpolated_refine(spark):
+    """Exact tube semantics (TubeBuilder.scala:50-270 analog): membership is
+    distance to the track position INTERPOLATED at the row's time, not to the
+    bin centroid — same place at the wrong time must be excluded."""
+    from geomesa_spark.operators.tracks import tube_select
+
+    track = pd.DataFrame(
+        {"lon": [0.0, 10.0], "lat": [0.0, 0.0], "ts_s": [0.0, 1000.0]}
+    )
+    pts = pd.DataFrame(
+        {
+            "pid": [1, 2, 3, 4],
+            "lon": [5.0, 5.0, 0.1, 5.0],
+            "lat": [0.1, 0.1, 0.0, 3.0],
+            # 1: at the interp position at t=500 (in); 2: same place at t=50
+            #   when the track is near lon 0.5 (out); 3: near start at t=0
+            #   (in); 4: 330 km laterally off at the right time (out)
+            "ts_s": [500.0, 50.0, 0.0, 500.0],
+        }
+    )
+    out = tube_select(
+        spark.createDataFrame(pts), track, buffer_m=100_000.0, ts="ts_s"
+    )
+    got = {r.pid for r in out.collect()}
+    assert got == {1, 3}
