@@ -28,8 +28,13 @@ from .operators.stats import histogram, top_k
 from .operators.tracks import point2point
 
 # --- deterministic point derivation (identical int64 math in both engines) ---
-LON_SQL = "(((event_id * 2654435761) % 3600000) / 10000.0 - 180.0)"
-LAT_SQL = "(((event_id * 40503) % 1800000) / 10000.0 - 90.0)"
+# the int64 residue is cast to DOUBLE before dividing: without the cast Spark
+# parses 10000.0 as a DECIMAL literal and computes exact decimal division
+# while DuckDB divides doubles — a last-ulp disagreement that flips value
+# hashes whenever raw coordinates are output (hull vertices). With the cast
+# both engines (and numpy in _lonlat_np) perform the same two IEEE roundings.
+LON_SQL = "(cast((event_id * 2654435761) % 3600000 as double) / 10000.0 - 180.0)"
+LAT_SQL = "(cast((event_id * 40503) % 1800000 as double) / 10000.0 - 90.0)"
 
 
 def _lonlat_np(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -908,11 +913,44 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, queries, k=ANN_K, dim=64)
 
 
-def q_geo_convex_hull(spark, sf_dir):
-    from .operators.hull import convex_hull
+HULL_SUBSET = 67  # event_id stride: ~150 pts at sf0.01 (O(N^3) SQL oracle)
 
-    pts = _points(spark, sf_dir)
-    return convex_hull(pts, by="event_type")
+
+def q_geo_convex_hull(spark, sf_dir):
+    """Per-group convex hull as its corner-vertex set (two-phase UDAF analog,
+    ConvexHull.scala:16-51). Emitting vertices (not WKT) makes the exact SQL
+    oracle expressible: p is a hull corner iff some directed line (p -> q)
+    has every other point strictly left or collinear-ahead."""
+    from .operators.hull import convex_hull_vertices
+
+    pts = _points(spark, sf_dir).filter(F.col("event_id") % HULL_SUBSET == 0)
+    return convex_hull_vertices(pts, by="event_type")
+
+
+def _oracle_geo_convex_hull():
+    cross = "((qx - px) * (r.lat - py) - (qy - py) * (r.lon - px))"
+    dot = "((r.lon - px) * (qx - px) + (r.lat - py) * (qy - py))"
+    return f"""
+WITH pts AS (
+  SELECT DISTINCT event_type, {LON_SQL} AS lon, {LAT_SQL} AS lat
+  FROM events WHERE event_id % {HULL_SUBSET} = 0
+),
+pq AS (
+  SELECT a.event_type, a.lon AS px, a.lat AS py, b.lon AS qx, b.lat AS qy
+  FROM pts a JOIN pts b
+    ON a.event_type = b.event_type AND (a.lon <> b.lon OR a.lat <> b.lat)
+),
+corners AS (
+  SELECT DISTINCT event_type, px, py FROM pq
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts r
+    WHERE r.event_type = pq.event_type
+      AND (r.lon <> pq.px OR r.lat <> pq.py)
+      AND NOT ({cross} > 0 OR ({cross} = 0 AND {dot} > 0))
+  )
+)
+SELECT event_type, px AS lon, py AS lat FROM corners
+"""
 
 
 TUBE_T0 = 1704067200  # 2024-01-01
@@ -1104,7 +1142,7 @@ QUERIES = {
     "embed_neardup": (q_embed_neardup, _oracle_embed_neardup()),
     "geo_geom_join": (q_geo_geom_join, _oracle_geo_geom_join()),
     # rows-only (non-SQL-expressible)
-    "geo_convex_hull": (q_geo_convex_hull, None),
+    "geo_convex_hull": (q_geo_convex_hull, _oracle_geo_convex_hull()),
     "geo_tube_select": (q_geo_tube_select, _oracle_geo_tube_select()),
     "geo_route_search": (q_geo_route_search, _oracle_geo_route_search()),
     "minhash_pairs": (q_minhash_pairs, None),

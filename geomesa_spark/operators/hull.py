@@ -103,3 +103,56 @@ def convex_hull(
         schema=out_schema if key else "hull_wkt string",
     )
     return out
+
+
+def convex_hull_vertices(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    by: str | None = None,
+) -> DataFrame:
+    """-> (group?, lon, lat): the hull's STRICT CORNER vertices as rows.
+
+    Same two-phase plan as :func:`convex_hull` (per-partition partial hulls,
+    exact hull of the candidates per group) but emitting the vertex set
+    instead of WKT — the oracle-comparable form: a point is a corner iff some
+    directed line through it and another point has every remaining point
+    strictly to its left or collinear-ahead, which a SQL NOT EXISTS over
+    point pairs states exactly (see catalog._oracle_geo_convex_hull).
+    Collinear mid-edge points are NOT vertices (monotone chain pops them);
+    groups with a single distinct point are dropped (no supporting pair).
+    """
+    key = by
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if key is None:
+                h = convex_hull_np(pdf[lon].to_numpy(), pdf[lat].to_numpy())
+                yield pd.DataFrame({lon: h[:, 0], lat: h[:, 1]})
+            else:
+                outs = []
+                for g, sub in pdf.groupby(key):
+                    h = convex_hull_np(sub[lon].to_numpy(), sub[lat].to_numpy())
+                    outs.append(pd.DataFrame({key: g, lon: h[:, 0], lat: h[:, 1]}))
+                yield pd.concat(outs, ignore_index=True)
+
+    sel = ([F.col(key)] if key else []) + [
+        F.col(lon).cast("double").alias(lon),
+        F.col(lat).cast("double").alias(lat),
+    ]
+    schema = ", ".join(
+        ([f"{key} {dict(df.dtypes)[key]}"] if key else []) + [f"{lon} double", f"{lat} double"]
+    )
+    candidates = df.select(*sel).mapInPandas(partial, schema=schema)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = convex_hull_np(pdf[lon].to_numpy(), pdf[lat].to_numpy())
+        if len(h) < 2:
+            h = h[:0]
+        base = {key: pdf[key].iloc[0]} if key else {}
+        return pd.DataFrame({**base, lon: h[:, 0], lat: h[:, 1]})
+
+    grouped = candidates.groupBy(key) if key else candidates.groupBy(F.lit(1).alias("__g"))
+    return grouped.applyInPandas(lambda k, pdf: final(pdf), schema=schema)

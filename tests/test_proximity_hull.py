@@ -161,3 +161,33 @@ def test_proximity_high_latitude_no_drops(spark):
     missing = expect - got
     assert not missing, f"prefilter dropped {len(missing)} in-radius rows"
     assert got == expect
+
+
+def test_convex_hull_vertices_matches_wkt(spark):
+    """Vertices output == the polygon ring of the WKT output (corners only,
+    collinear mid-edge points excluded)."""
+    from geomesa_spark.operators.hull import convex_hull_vertices
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 200 + ["b"] * 200,
+            "lon": np.concatenate([rng.uniform(0, 10, 200), rng.uniform(20, 30, 200)]),
+            "lat": rng.uniform(-5, 5, 400),
+        }
+    )
+    # add exact collinear mid-edge points to group a's hull: corners (0,0),
+    # (10,0) replaced by a straight bottom edge with a midpoint on it
+    extra = pd.DataFrame(
+        {"g": ["a"] * 3, "lon": [0.0, 5.0, 10.0], "lat": [-10.0, -10.0, -10.0]}
+    )
+    pdf = pd.concat([pdf, extra], ignore_index=True)
+    out = convex_hull_vertices(spark.createDataFrame(pdf), by="g").toPandas()
+    a = out[out.g == "a"]
+    got = {(r.lon, r.lat) for r in a.itertuples(index=False)}
+    assert (0.0, -10.0) in got and (10.0, -10.0) in got
+    assert (5.0, -10.0) not in got  # collinear mid-edge point is not a corner
+    exp = convex_hull_np(
+        pdf[pdf.g == "a"]["lon"].to_numpy(), pdf[pdf.g == "a"]["lat"].to_numpy()
+    )
+    assert got == {(x, y) for x, y in exp}
