@@ -888,18 +888,95 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, rnk FROM r 
 # Rows-only entries (non-SQL-expressible: LSH dedup, image ops)
 # =============================================================================
 
+MINHASH_TAU = 0.5
+SHINGLE_N = 5
+
+
 def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs with CERTIFIED recall for the oracle gate:
+    bands == num_hashes (1 row/band) makes the miss probability at the
+    threshold (1 - tau)^64 <= 5e-20, so the emitted exact-verified pair set
+    equals the true all-pairs answer the SQL oracle brute-forces. The banded
+    (rows-per-band > 1) setting remains the cheap production default."""
     from .operators.dedup import minhash_lsh_pairs
 
     (docs,) = _load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return minhash_lsh_pairs(
+        docs, num_hashes=64, bands=64, shingle_n=SHINGLE_N,
+        jaccard_threshold=MINHASH_TAU,
+    ).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard"
+    )
+
+
+def _oracle_minhash_pairs():
+    n = SHINGLE_N
+    return f"""
+WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS tt FROM documents),
+sh AS (SELECT DISTINCT doc_id, substr(tt, i, {n}) AS s
+       FROM (SELECT doc_id, tt, unnest(range(1, greatest(length(tt) - {n - 2}, 2))) AS i FROM t)),
+sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+      FROM inter JOIN sz ca ON ca.doc_id = id_a JOIN sz cb ON cb.doc_id = id_b)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(jaccard, 6) AS jaccard
+FROM j WHERE jaccard >= {MINHASH_TAU}
+"""
+
+
+SIMHASH_MAX_HAMMING = 3  # banding into max_hamming+1 chunks => exact recall
 
 
 def q_simhash_pairs(spark, sf_dir):
     from .operators.dedup import simhash_pairs
 
     (docs,) = _load(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=16)
+    return simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "hamming"
+    )
+
+
+def _oracle_simhash_pairs():
+    """DuckDB recomputes the 64-bit SimHash BIT-FOR-BIT from raw text (char
+    4-grams -> poly31 mod 2^32 -> splitmix64 -> per-bit majority), then
+    brute-forces all-pairs hamming. The 64x64 splitmix multiplies are split
+    into 32-bit halves because a full product overflows signed INT128."""
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    m = 1 << 64
+
+    def mulmod(x, c):
+        return (
+            f"((((CAST({x} AS HUGEINT) % 4294967296) * {c}) + "
+            f"(((CAST({x} AS HUGEINT) // 4294967296) * {c}) % 4294967296) * 4294967296) % {m})"
+        )
+
+    return f"""
+WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS tt FROM documents),
+sh AS (SELECT DISTINCT doc_id, substr(tt, i, 4) AS s
+       FROM (SELECT doc_id, tt, unnest(range(1, greatest(length(tt) - 2, 2))) AS i FROM t)),
+h32 AS (SELECT doc_id,
+        (unicode(substr(s,1,1))*29791 + unicode(substr(s,2,1))*961
+         + unicode(substr(s,3,1))*31 + unicode(substr(s,4,1))) % 4294967296 AS h
+        FROM sh),
+s1 AS (SELECT doc_id, CAST((CAST(h AS HUGEINT) + {c1}) % {m} AS UBIGINT) AS x FROM h32),
+s2 AS (SELECT doc_id, CAST({mulmod('xor(x, x >> 30)', c2)} AS UBIGINT) AS x FROM s1),
+s3 AS (SELECT doc_id, CAST({mulmod('xor(x, x >> 27)', c3)} AS UBIGINT) AS x FROM s2),
+hx AS (SELECT doc_id, xor(x, x >> 31) AS x FROM s3),
+nsh AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY 1),
+bits AS (SELECT doc_id, b, CAST((x >> CAST(b AS INTEGER)) % 2 AS BIGINT) AS bit
+         FROM hx, (SELECT unnest(range(0, 64)) AS b) bs),
+db AS (SELECT bits.doc_id, b, CASE WHEN 2 * sum(bit) >= max(n) THEN 1 ELSE 0 END AS bv
+       FROM bits JOIN nsh ON nsh.doc_id = bits.doc_id GROUP BY 1, 2),
+pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                sum(CASE WHEN a.bv <> b.bv THEN 1 ELSE 0 END) AS hamming
+         FROM db a JOIN db b ON a.b = b.b AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS BIGINT) AS hamming
+FROM pair WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -1145,8 +1222,8 @@ QUERIES = {
     "geo_convex_hull": (q_geo_convex_hull, _oracle_geo_convex_hull()),
     "geo_tube_select": (q_geo_tube_select, _oracle_geo_tube_select()),
     "geo_route_search": (q_geo_route_search, _oracle_geo_route_search()),
-    "minhash_pairs": (q_minhash_pairs, None),
-    "simhash_pairs": (q_simhash_pairs, None),
+    "minhash_pairs": (q_minhash_pairs, _oracle_minhash_pairs()),
+    "simhash_pairs": (q_simhash_pairs, _oracle_simhash_pairs()),
     "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),
     "img_tile_density": (q_img_tile_density, None),

@@ -34,19 +34,37 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _shingles(text: str, n: int) -> np.ndarray:
-    t = " ".join(text.lower().split())
+def _normalize(text: str) -> str:
+    """Whitespace-collapse + lowercase; identical to the portable SQL form
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``."""
+    return " ".join(text.lower().split())
+
+
+def _char_shingles(text: str, n: int) -> list[str]:
+    """DISTINCT character n-grams of the normalized text (whole string when
+    shorter than n) — the exact shingle set a SQL oracle reproduces with
+    ``substr(tt, i, n)`` over a generated index range."""
+    t = _normalize(text)
     if len(t) < n:
-        return np.array([hash(t) & 0xFFFFFFFF], dtype=np.uint64)
-    arr = np.frombuffer(t.encode("utf-8", "ignore")[: len(t)], dtype=np.uint8)
-    # rolling polynomial hash of n-byte shingles, vectorized
-    if arr.shape[0] < n:
-        return np.array([int(arr.sum())], dtype=np.uint64)
-    weights = np.power(
-        np.uint64(31), np.arange(n - 1, -1, -1).astype(np.uint64), dtype=np.uint64
-    )
-    windows = np.lib.stride_tricks.sliding_window_view(arr, n).astype(np.uint64)
-    return np.unique((windows * weights).sum(axis=1) & np.uint64(0xFFFFFFFF))
+        return [t]
+    return sorted({t[i : i + n] for i in range(len(t) - n + 1)})
+
+
+def _poly31_mod32(shingles: list[str]) -> np.ndarray:
+    """32-bit polynomial hash per shingle: sum(codepoint * 31^(n-1-k)) mod
+    2^32 — small-integer math both numpy and SQL evaluate identically."""
+    out = np.zeros(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        acc = 0
+        for c in s:
+            acc = acc * 31 + ord(c)
+        out[i] = acc & 0xFFFFFFFF
+    return out
+
+
+def _shingles(text: str, n: int) -> np.ndarray:
+    """Hashed shingle set (uint64 of 32-bit values) for signatures."""
+    return _poly31_mod32(_char_shingles(text, n))
 
 
 def minhash_signature_udf(num_hashes: int = 64, shingle_n: int = 5):
@@ -69,11 +87,16 @@ def minhash_signature_udf(num_hashes: int = 64, shingle_n: int = 5):
 
 
 def jaccard_udf(shingle_n: int = 5):
+    """EXACT character-n-gram Jaccard (not hashed): set ops over the literal
+    shingle strings, so a SQL oracle recomputes the identical value from
+    ``substr`` shingle tables (intersection / union of distinct n-grams)."""
+
     @F.pandas_udf(T.DoubleType())
     def jac(t1: pd.Series, t2: pd.Series) -> pd.Series:
         out = np.zeros(len(t1))
         for i, (x, y) in enumerate(zip(t1, t2)):
-            s1, s2 = set(_shingles(x or "", shingle_n)), set(_shingles(y or "", shingle_n))
+            s1 = set(_char_shingles(x or "", shingle_n))
+            s2 = set(_char_shingles(y or "", shingle_n))
             u = len(s1 | s2)
             out[i] = len(s1 & s2) / u if u else 1.0
         return pd.Series(out)
@@ -96,6 +119,13 @@ def minhash_lsh_pairs(
     Plan: signature (1 UDF pass) -> explode to (band, band_hash) keys (native)
     -> self-join on the short keys -> dedup pairs -> exact verify. Only ids +
     band hashes shuffle; text is fetched back by id for the verify stage.
+
+    Recall contract: a pair with Jaccard J survives banding with probability
+    1 - (1 - J^r)^b (r = num_hashes/bands rows per band). With bands ==
+    num_hashes (r = 1) the miss probability at the threshold is
+    (1 - J)^num_hashes — e.g. <= 0.5^64 at J >= 0.5 — which is how the
+    oracle-checked catalog entry certifies recall; the banded default
+    (r = 4) is the cheaper production setting.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature_udf(num_hashes, shingle_n)
@@ -138,37 +168,65 @@ def minhash_lsh_pairs(
         .join(texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "__tb"), "id_b")
         .withColumn("jaccard", jac(F.col("__ta"), F.col("__tb")))
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return verified
 
 
+_SPLITMIX_C1 = 0x9E3779B97F4A7C15
+_SPLITMIX_C2 = 0xBF58476D1CE4E5B9
+_SPLITMIX_C3 = 0x94D049BB133111EB
+
+
+def splitmix64_np(x: np.ndarray) -> np.ndarray:
+    """Full splitmix64 finalizer (public constants), uint64 wraparound."""
+    m = np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = (x.astype(np.uint64) + np.uint64(_SPLITMIX_C1)) & m
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(_SPLITMIX_C2)) & m
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(_SPLITMIX_C3)) & m
+    return x ^ (x >> np.uint64(31))
+
+
+def simhash64(text: str, shingle_n: int = 4) -> int:
+    """64-bit SimHash of the normalized text (Charikar 2002).
+
+    Deterministic, SQL-reproducible recipe (the DuckDB oracle recomputes it
+    bit-for-bit from the raw text): distinct char n-grams -> 32-bit poly31
+    shingle hash -> splitmix64 to 64 mixed bits -> per-bit majority vote
+    (ties -> 1, i.e. bit b set iff 2*count_b >= n_shingles)."""
+    hs = _poly31_mod32(_char_shingles(text, shingle_n))
+    x = splitmix64_np(hs)
+    bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    v = (2 * bits.sum(axis=0) >= len(hs)).astype(np.uint64)
+    acc = np.uint64(0)
+    for j in range(64):
+        acc |= v[j] << np.uint64(j)
+    return int(acc.astype(np.int64))
+
+
 def simhash_udf(shingle_n: int = 4):
-    """text -> 64-bit SimHash (sign-sum of shingle hash bits), Arrow-batched."""
+    """text -> 64-bit SimHash, Arrow-batched."""
 
     @F.pandas_udf(T.LongType())
     def sh(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            hs = _shingles(t or "", shingle_n)
-            # re-mix to 64 bits (splitmix-style)
-            x = hs.astype(np.uint64)
-            x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-            x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
-                0xFFFFFFFFFFFFFFFF
-            )
-            x ^= x >> np.uint64(31)
-            bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            v = np.where((2 * bits - 1).sum(axis=0) >= 0, 1, 0).astype(np.uint64)
-            acc = np.uint64(0)
-            for j in range(64):
-                acc |= v[j] << np.uint64(j)
-            out[i] = np.int64(acc)
-        return pd.Series(out)
+        return pd.Series(
+            [simhash64(t or "", shingle_n) for t in texts], dtype=np.int64
+        )
 
     return sh
+
+
+def simhash_chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) per chunk, widths as equal as 64 allows."""
+    base, rem = divmod(64, n_chunks)
+    bounds, off = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
 
 
 def simhash_pairs(
@@ -179,13 +237,17 @@ def simhash_pairs(
 ) -> DataFrame:
     """-> (id_a, id_b, hamming): pairs within ``max_hamming`` bits.
 
-    Banding: split 64 bits into 4 x 16-bit chunks; by pigeonhole any pair with
-    hamming <= 3 shares at least one chunk exactly -> chunk equi-join, then
-    exact popcount verify (native bit_count, no UDF in the verify)."""
+    Banding with a GUARANTEED recall contract: 64 bits split into
+    ``max_hamming + 1`` chunks — by pigeonhole a pair within ``max_hamming``
+    differing bits must share at least one chunk exactly, so the chunk
+    equi-join misses nothing at the stated threshold (the round-1 fixed
+    4-chunk banding silently lost recall whenever max_hamming > 3). Exact
+    popcount verify is native bit_count — no UDF past the signature stage."""
+    n_chunks = min(max_hamming + 1, 64)
     sh = simhash_udf()
-    with_h = df.select(id_col).join(
-        df.select(id_col, text_col), id_col
-    ).withColumn("__sh", sh(F.col(text_col))).select(id_col, "__sh")
+    with_h = df.select(id_col, text_col).withColumn(
+        "__sh", sh(F.col(text_col))
+    ).select(id_col, "__sh")
 
     chunks = with_h.select(
         id_col,
@@ -195,11 +257,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("__sh"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("__sh"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
                         .alias("cv"),
                     )
-                    for c in range(4)
+                    for c, (off, w) in enumerate(simhash_chunk_bounds(n_chunks))
                 ]
             )
         ).alias("ck"),
@@ -224,5 +286,5 @@ def simhash_pairs(
     return (
         cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
     )
