@@ -795,15 +795,65 @@ GROUP BY poly_id
 """
 
 
+IVF_C = 32
+IVF_PROBE = 6
+
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM = "sqrt(list_sum(list_transform({c}, x -> CAST(x AS DOUBLE) * x)))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"{_DOT.format(a=a, b=b)} / ({_NORM.format(c=a)} * {_NORM.format(c=b)})"
+
+
 def q_ann_ivf(spark, sf_dir):
-    from .operators.similarity import ivf_topk
+    from .operators.similarity import ivf_topk_native
 
     (emb,) = _load(spark, sf_dir, "embeddings")
     queries = (
         emb.filter(F.col("vec_id") < ANN_NQ)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     )
-    return ivf_topk(emb, queries, k=ANN_K, dim=64, n_centroids=32, n_probe=6)
+    out = ivf_topk_native(
+        emb, queries, k=ANN_K, n_centroids=IVF_C, n_probe=IVF_PROBE
+    )
+    return out.select(
+        F.col("qid").cast("long"), F.col("vec_id").cast("long"),
+        F.col("rnk").cast("int"),
+    )
+
+
+def _oracle_ann_ivf():
+    """DuckDB replays the ENTIRE IVF pipeline (deterministic head-sampled
+    quantizer, argmax assignment, n_probe lists, exact rerank) — the driver
+    hash therefore verifies the approximate operator itself, not merely an
+    exact stand-in."""
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {IVF_C}),
+a AS (SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.cvec')} AS sim
+      FROM embeddings e CROSS JOIN cent c),
+assign AS (SELECT vec_id, cid AS list FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS r
+    FROM a) WHERE r = 1),
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {ANN_NQ}),
+qs AS (SELECT q.qid, c.cid, {_cos_sql('q.qvec', 'c.cvec')} AS sim FROM q CROSS JOIN cent c),
+probes AS (SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS r
+    FROM qs) WHERE r <= {IVF_PROBE}),
+cand AS (SELECT p.qid, s.vec_id FROM probes p JOIN assign s ON s.list = p.cid
+         WHERE s.vec_id <> p.qid),
+rs AS (SELECT cand.qid, cand.vec_id, {_cos_sql('e.embedding', 'q.qvec')} AS sim
+       FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+       JOIN q ON q.qid = cand.qid),
+r AS (SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+      FROM rs)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, rnk
+FROM r WHERE rnk <= {ANN_K}
+"""
 
 
 NEARDUP_TAU = 0.35  # synthetic embeddings: ~99.9th pctile of pair cosine
@@ -979,6 +1029,10 @@ FROM pair WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
 
 
+LSH_PLANES = 6
+LSH_TABLES = 4
+
+
 def q_ann_lsh(spark, sf_dir):
     from .operators.similarity import lsh_topk
 
@@ -987,7 +1041,62 @@ def q_ann_lsh(spark, sf_dir):
         emb.filter(F.col("vec_id") < ANN_NQ)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     )
-    return lsh_topk(emb, queries, k=ANN_K, dim=64)
+    out = lsh_topk(
+        emb, queries, k=ANN_K, dim=64, n_planes=LSH_PLANES, n_tables=LSH_TABLES
+    )
+    return out.select(
+        F.col("qid").cast("long"), F.col("vec_id").cast("long"),
+        F.col("rnk").cast("int"),
+    )
+
+
+def _oracle_ann_lsh():
+    """DuckDB regenerates the deterministic ±1 hyperplanes (bit 0 of
+    splitmix64(t*2^20 + j*2^10 + d)), buckets both sides, and replays the
+    bucket-join + exact rerank — verifying the LSH path itself."""
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    m = 1 << 64
+
+    def mulmod(x, c):
+        return (
+            f"((((CAST({x} AS HUGEINT) % 4294967296) * {c}) + "
+            f"(((CAST({x} AS HUGEINT) // 4294967296) * {c}) % 4294967296) * 4294967296) % {m})"
+        )
+
+    return f"""
+WITH seeds AS (
+  SELECT t, j, d, CAST(t * 1048576 + j * 1024 + d AS BIGINT) AS seed
+  FROM (SELECT unnest(range({LSH_TABLES})) AS t) tt,
+       (SELECT unnest(range({LSH_PLANES})) AS j) jj,
+       (SELECT unnest(range(64)) AS d) dd),
+m1 AS (SELECT t, j, d, CAST((CAST(seed AS HUGEINT) + {c1}) % {m} AS UBIGINT) AS x FROM seeds),
+m2 AS (SELECT t, j, d, CAST({mulmod('xor(x, x >> 30)', c2)} AS UBIGINT) AS x FROM m1),
+m3 AS (SELECT t, j, d, CAST({mulmod('xor(x, x >> 27)', c3)} AS UBIGINT) AS x FROM m2),
+pl AS (SELECT t, j, d,
+              CASE WHEN xor(x, x >> 31) % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+       FROM m3),
+ev AS (SELECT vec_id, d, CAST(embedding[CAST(d + 1 AS INTEGER)] AS DOUBLE) AS val
+       FROM embeddings, (SELECT unnest(range(64)) AS d) dd),
+dots AS (SELECT ev.vec_id, pl.t, pl.j, sum(ev.val * pl.s) AS dp
+         FROM ev JOIN pl ON pl.d = ev.d GROUP BY 1, 2, 3),
+bk AS (SELECT vec_id, t,
+              sum(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                       ELSE 0 END) AS b
+       FROM dots GROUP BY 1, 2),
+qb AS (SELECT vec_id AS qid, t, b FROM bk WHERE vec_id < {ANN_NQ}),
+cand AS (SELECT DISTINCT qb.qid, v.vec_id
+         FROM qb JOIN bk v ON v.t = qb.t AND v.b = qb.b
+         WHERE v.vec_id <> qb.qid),
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {ANN_NQ}),
+rs AS (SELECT cand.qid, cand.vec_id, {_cos_sql('e.embedding', 'q.qvec')} AS sim
+       FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+       JOIN q ON q.qid = cand.qid),
+r AS (SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+      FROM rs)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, rnk
+FROM r WHERE rnk <= {ANN_K}
+"""
 
 
 HULL_SUBSET = 67  # event_id stride: ~150 pts at sf0.01 (O(N^3) SQL oracle)
@@ -1224,8 +1333,8 @@ QUERIES = {
     "geo_route_search": (q_geo_route_search, _oracle_geo_route_search()),
     "minhash_pairs": (q_minhash_pairs, _oracle_minhash_pairs()),
     "simhash_pairs": (q_simhash_pairs, _oracle_simhash_pairs()),
-    "ann_lsh": (q_ann_lsh, None),
-    "ann_ivf": (q_ann_ivf, None),
+    "ann_lsh": (q_ann_lsh, _oracle_ann_lsh()),
+    "ann_ivf": (q_ann_ivf, _oracle_ann_ivf()),
     "img_tile_density": (q_img_tile_density, None),
     "img_density_scan": (q_img_density_scan, None),
     "img_phash_buckets": (q_img_phash_buckets, None),

@@ -61,13 +61,29 @@ def brute_force_topk(
     )
 
 
+def sign_planes(dim: int, n_planes: int, table: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes from a stateless hash (sign random
+    projections, Achlioptas 2003): component (t, j, d) is +1 iff bit 0 of
+    splitmix64(t*2^20 + j*2^10 + d) is set. Stateless => rebuildable on any
+    executor / any engine (the DuckDB oracle regenerates the identical
+    planes in SQL) without shipping plane matrices."""
+    from .dedup import splitmix64_np
+
+    seeds = (
+        np.uint64(table) * np.uint64(1 << 20)
+        + np.arange(n_planes, dtype=np.uint64)[:, None] * np.uint64(1 << 10)
+        + np.arange(dim, dtype=np.uint64)[None, :]
+    )
+    bits = splitmix64_np(seeds.ravel()) & np.uint64(1)
+    return (2.0 * bits.reshape(n_planes, dim).astype(np.float64)) - 1.0
+
+
 def hyperplane_bucket_udf(dim: int, n_planes: int = 12, table: int = 0):
-    rng = np.random.default_rng(42 + table * 1000)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = sign_planes(dim, n_planes, table)
 
     @F.pandas_udf(T.LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())
+        m = np.array(vecs.tolist(), dtype=np.float64)
         signs = (m @ planes.T) > 0
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series((signs @ weights).astype(np.int64))
@@ -189,6 +205,73 @@ def train_ivf_centroids(
                 v = X[m].mean(axis=0)
                 cent[c] = v / max(np.linalg.norm(v), 1e-12)
     return cent
+
+
+def ivf_topk_native(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF cosine top-k with a FULLY NATIVE plan (zero Python): the coarse
+    quantizer is the table's first ``n_centroids`` vectors (deterministic
+    sampling init — the standard k-means seeding step without the Lloyd
+    iterations, so an ANSI-SQL oracle can reproduce the whole pipeline).
+
+    Plan: assignment = broadcast cross join against the centroid table +
+    window argmax (N x C JVM-side dot products — the canonical IVF assign
+    cost); probing = same per query; rerank = exact cosine over probed lists
+    only. -> (qid, vec_id, sim, rnk). Use :func:`ivf_topk` for the trained
+    k-means quantizer.
+    """
+    cent = F.broadcast(
+        vectors.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
+            F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+        )
+    )
+    csim = (
+        F.expr(_dot_expr(vec_col, "__cvec"))
+        / (F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr("__cvec")))
+    )
+    wv = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("__cid").asc())
+    assign = (
+        vectors.crossJoin(cent)
+        .withColumn("__csim", csim)
+        .withColumn("__r", F.row_number().over(wv))
+        .filter(F.col("__r") == 1)
+        .select(id_col, vec_col, F.col("__cid").alias("__list"))
+    )
+    qsim = (
+        F.expr(_dot_expr(qvec_col, "__cvec"))
+        / (F.expr(_norm_expr(qvec_col)) * F.expr(_norm_expr("__cvec")))
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.col("__qsim").desc(), F.col("__cid").asc())
+    probes = (
+        queries.crossJoin(cent)
+        .withColumn("__qsim", qsim)
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select(qid_col, qvec_col, F.col("__cid").alias("__probe"))
+    )
+    cands = assign.join(
+        F.broadcast(probes), assign["__list"] == probes["__probe"]
+    ).drop("__list", "__probe")
+    sim = (
+        F.expr(_dot_expr(vec_col, qvec_col))
+        / (F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr(qvec_col)))
+    )
+    cands = cands.withColumn("sim", sim).filter(F.col(id_col) != F.col(qid_col))
+    w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, id_col, "sim", "rnk")
+    )
 
 
 def ivf_topk(
