@@ -1238,58 +1238,145 @@ GROUP BY route_segment
 """
 
 
+IMG_N = 4000          # fixed id range: oracle derives the same table from range(4000)
+IMG_TILE_RES = 12
+IMG_SCAN_RES = 14
+IMG_PITCH = 1e-4
+
+IMG_POLYS = {
+    "nyc": (-74.6, 40.2, -73.4, 41.2),
+    "paris": (1.8, 48.3, 2.9, 49.4),
+    "tokyo": (139.1, 35.1, 140.3, 36.3),
+}
+
+
+def _img_n(spark, sf_dir) -> int:
+    (events,) = _load(spark, sf_dir, "events")
+    return min(events.count(), IMG_N)
+
+
 def q_img_tile_density(spark, sf_dir):
-    """Flagship image pipeline at testdata scale: synthesize the image table
-    from event ids (deterministic, executor-side), PIP-join to city polygons,
-    decode + tile-assign, aggregate."""
-    from .operators.raster import tile_density
+    """Raster tile assignment verified per image: decode every image on
+    executors, map its pixel grid to Z2 tiles, report the per-image distinct
+    tile count alongside metadata. The DuckDB oracle re-derives (w, h, fmt,
+    lon, lat) from ids via the splitmix generators (oracle_sql.py) and
+    recomputes n_tiles = |distinct xi| * |distinct yi| from the same floor
+    math — verifying the decode->tile geometry end-to-end (pixel weights are
+    covered by pytest PSNR/parity and the phash oracle)."""
+    from .operators.raster import tile_assignments
     from .sources.images import images_df
 
-    (events,) = _load(spark, sf_dir, "events")
-    n = events.count()
-    imgs = images_df(spark, min(n, 4000))
-    return tile_density(imgs, res=12, pixel_pitch_deg=1e-4)
+    imgs = images_df(spark, _img_n(spark, sf_dir))
+    per = (
+        tile_assignments(imgs, res=IMG_TILE_RES, pixel_pitch_deg=IMG_PITCH)
+        .groupBy("image_id")
+        .agg(F.countDistinct("tile_cell").alias("n_tiles"))
+    )
+    return imgs.select("image_id", "w", "h", "fmt").join(per, "image_id")
+
+
+def _oracle_img_tile_density():
+    from .oracle_sql import images_meta_cte, tile_xi_sql, tile_yi_sql
+
+    xi = tile_xi_sql("lon", "c", IMG_PITCH, IMG_TILE_RES)
+    yi = tile_yi_sql("lat", "r", IMG_PITCH, IMG_TILE_RES)
+    return f"""
+WITH {images_meta_cte(IMG_N)},
+xs AS (SELECT id, count(DISTINCT {xi}) AS nx
+       FROM imgs, (SELECT unnest(range(0, 64)) AS c) cc WHERE c < w GROUP BY id),
+ys AS (SELECT id, count(DISTINCT {yi}) AS ny
+       FROM imgs, (SELECT unnest(range(0, 64)) AS r) rr WHERE r < h GROUP BY id)
+SELECT i.image_id, i.w, i.h, i.fmt, CAST(xs.nx * ys.ny AS BIGINT) AS n_tiles
+FROM imgs i JOIN xs ON xs.id = i.id JOIN ys ON ys.id = i.id
+"""
+
+
+def _images_parquet(spark, n: int) -> str:
+    """Idempotent fixture materialization for the fused-scan operator (a
+    STORAGE scan: its input must be parquet row groups). Cache keyed by
+    (n, generator version); only written on first use."""
+    import os
+
+    from .sources.images import images_df
+
+    path = f"/tmp/spark_graft_catalog/images_v2_{n}.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        images_df(spark, int(n)).write.mode("overwrite").parquet(path)
+    return path
 
 
 def q_img_density_scan(spark, sf_dir):
     """Fused density scan (the flagship operator): image parquet -> cell-cover
-    PIP filter + decode + tile assignment inside one Arrow scan stage."""
-    import os
-
-    from .sources.images import images_df
+    PIP filter + decode + tile assignment inside one Arrow scan stage. The
+    oracle recomputes per-polygon image membership and the distinct morton
+    tile set from regenerated metadata."""
     from .sources.parquet_scan import density_scan
 
-    (events,) = _load(spark, sf_dir, "events")
-    n = min(events.count(), 4000)
-    path = f"/tmp/spark_graft_catalog/images_{n}.parquet"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        images_df(spark, int(n)).write.mode("overwrite").parquet(path)
-    polys = {
-        "nyc": "POLYGON((-74.6 40.2, -73.4 40.2, -73.4 41.2, -74.6 41.2, -74.6 40.2))",
-        "paris": "POLYGON((1.8 48.3, 2.9 48.3, 2.9 49.4, 1.8 49.4, 1.8 48.3))",
-        "tokyo": "POLYGON((139.1 35.1, 140.3 35.1, 140.3 36.3, 139.1 36.3, 139.1 35.1))",
-    }
-    tiles = density_scan(spark, path, polys, res=14, pixel_pitch_deg=1e-4)
+    n = _img_n(spark, sf_dir)
+    path = _images_parquet(spark, n)
+    polys = {pid: _box_wkt(b) for pid, b in IMG_POLYS.items()}
+    tiles = density_scan(spark, path, polys, res=IMG_SCAN_RES, pixel_pitch_deg=IMG_PITCH)
     return tiles.groupBy("poly_id").agg(
         F.countDistinct("image_id").alias("n_images"),
         F.countDistinct("tile_cell").alias("n_tiles"),
-        F.round(F.sum("weight"), 2).alias("total_weight"),
     )
 
 
+def _oracle_img_density_scan():
+    from .oracle_sql import (
+        images_meta_cte,
+        morton_spread_sql,
+        tile_xi_sql,
+        tile_yi_sql,
+    )
+
+    vals = ", ".join(
+        f"('{pid}', {x0}, {y0}, {x1}, {y1})" for pid, (x0, y0, x1, y1) in IMG_POLYS.items()
+    )
+    xi = tile_xi_sql("lon", "c", IMG_PITCH, IMG_SCAN_RES)
+    yi = tile_yi_sql("lat", "r", IMG_PITCH, IMG_SCAN_RES)
+    return f"""
+WITH {images_meta_cte(IMG_N)},
+polys(poly_id, x0, y0, x1, y1) AS (VALUES {vals}),
+m AS (SELECT poly_id, id, lon, lat, w, h FROM imgs JOIN polys
+      ON lon >= x0 AND lon <= x1 AND lat >= y0 AND lat <= y1),
+xs AS (SELECT DISTINCT poly_id, id, {xi} AS xi
+       FROM m, (SELECT unnest(range(0, 64)) AS c) cc WHERE c < w),
+ys AS (SELECT DISTINCT poly_id, id, {yi} AS yi
+       FROM m, (SELECT unnest(range(0, 64)) AS r) rr WHERE r < h),
+cells AS (SELECT xs.poly_id, xs.id,
+                 ({morton_spread_sql('xs.xi')}) | (({morton_spread_sql('ys.yi')}) * 2) AS cell
+          FROM xs JOIN ys ON xs.id = ys.id AND xs.poly_id = ys.poly_id)
+SELECT poly_id, CAST(count(DISTINCT id) AS BIGINT) AS n_images,
+       CAST(count(DISTINCT cell) AS BIGINT) AS n_tiles
+FROM cells GROUP BY poly_id
+"""
+
+
 def q_img_phash_buckets(spark, sf_dir):
-    """Near-dup image buckets by phash prefix (hamming-LSH chunks)."""
+    """Near-dup image buckets by phash prefix (hamming-LSH chunk, top 16
+    bits). The oracle regenerates every image's PIXELS in SQL and recomputes
+    the integer-exact block-mean aHash bit-for-bit (oracle_sql.py)."""
     from .sources.images import images_df
 
-    (events,) = _load(spark, sf_dir, "events")
-    n = events.count()
-    imgs = images_df(spark, min(n, 4000))
+    imgs = images_df(spark, _img_n(spark, sf_dir))
     chunk = F.shiftrightunsigned(F.col("phash"), 48).bitwiseAND(F.lit(0xFFFF))
     return (
         imgs.select(chunk.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+def _oracle_img_phash_buckets():
+    from .oracle_sql import images_pixel_gray_ctes, phash_bits_cte
+
+    return f"""
+WITH {images_pixel_gray_ctes(IMG_N)},{phash_bits_cte()},
+bucket AS (SELECT id, CAST(sum(bv * (CAST(1 AS BIGINT) << CAST(bi - 48 AS INTEGER))) AS BIGINT) AS bucket
+           FROM bits WHERE bi >= 48 GROUP BY 1)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM bucket GROUP BY 1
+"""
 
 
 # =============================================================================
@@ -1335,7 +1422,7 @@ QUERIES = {
     "simhash_pairs": (q_simhash_pairs, _oracle_simhash_pairs()),
     "ann_lsh": (q_ann_lsh, _oracle_ann_lsh()),
     "ann_ivf": (q_ann_ivf, _oracle_ann_ivf()),
-    "img_tile_density": (q_img_tile_density, None),
-    "img_density_scan": (q_img_density_scan, None),
-    "img_phash_buckets": (q_img_phash_buckets, None),
+    "img_tile_density": (q_img_tile_density, _oracle_img_tile_density()),
+    "img_density_scan": (q_img_density_scan, _oracle_img_density_scan()),
+    "img_phash_buckets": (q_img_phash_buckets, _oracle_img_phash_buckets()),
 }

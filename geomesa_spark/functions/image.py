@@ -184,52 +184,40 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 # ---------------------------------------------------------------------------
-# perceptual hash (block-mean aHash, 64-bit)
+# perceptual hash (block-mean aHash, 64-bit, integer-exact)
 # ---------------------------------------------------------------------------
-
-_DCT_N = 32  # gray downsample size feeding the 8x8 block means
-
-
-def _to_gray_32(arr: np.ndarray) -> np.ndarray:
-    gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    h, w = gray.shape
-    # area-average resample to 32x32 via integral image (anti-aliased, so the
-    # hash is stable under small per-pixel noise like lossy quantization)
-    integ = np.zeros((h + 1, w + 1))
-    integ[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
-    re = np.round(np.linspace(0, h, _DCT_N + 1)).astype(np.int64)
-    ce = np.round(np.linspace(0, w, _DCT_N + 1)).astype(np.int64)
-    # guarantee non-degenerate bins when h or w < 32 by merging duplicates
-    re = np.maximum.accumulate(np.maximum(re, np.arange(_DCT_N + 1) * 0))
-    sums = (
-        integ[re[1:], :][:, ce[1:]]
-        - integ[re[:-1], :][:, ce[1:]]
-        - integ[re[1:], :][:, ce[:-1]]
-        + integ[re[:-1], :][:, ce[:-1]]
-    )
-    areas = np.maximum(np.outer(np.diff(re), np.diff(ce)), 1)
-    out = sums / areas
-    # degenerate (zero-height/width) bins inherit the previous row/col
-    zr = np.diff(re) == 0
-    if zr.any():
-        for i in np.where(zr)[0]:
-            out[i] = out[i - 1] if i > 0 else out[i + 1]
-    zc = np.diff(ce) == 0
-    if zc.any():
-        for j in np.where(zc)[0]:
-            out[:, j] = out[:, j - 1] if j > 0 else out[:, j + 1]
-    return out
 
 
 def phash64(arr: np.ndarray) -> int:
-    """64-bit perceptual hash: area-averaged 8x8 gray blocks vs the global
-    mean (aHash). Chosen over DCT-sign pHash because synthetic/low-texture
-    images have near-zero AC coefficients whose signs are numerical noise;
-    block-mean thresholding stays stable under lossy quantization (the
-    PSNR>=40dB regime). Returns signed int64 for Spark LongType."""
-    g32 = _to_gray_32(arr)
-    g8 = g32.reshape(8, 4, 8, 4).mean(axis=(1, 3))
-    bits = (g8.flatten() > g8.mean()).astype(np.uint64)
+    """64-bit perceptual hash: 8x8 gray block means vs the global pixel mean
+    (block-mean aHash). Chosen over DCT-sign pHash because synthetic/
+    low-texture images have near-zero AC coefficients whose signs are
+    numerical noise; block-mean thresholding stays stable under lossy
+    quantization (the PSNR>=40dB regime).
+
+    INTEGER-EXACT by construction: gray = 299R + 587G + 114B (x1000 fixed
+    point), pixel (r, c) belongs to block (r*8//h, c*8//w), and bit b is set
+    iff blocksum_b * n_pixels > graysum_total * blockarea_b — pure int64
+    comparisons with no float rounding anywhere. That makes the hash
+    reproducible bit-for-bit by ANY engine (the DuckDB oracle recomputes it
+    from regenerated pixels) and independent of summation order. Bit i
+    (row-major, i = block_row*8 + block_col) of the signed int64 result.
+    """
+    h, w = arr.shape[:2]
+    g = (
+        299 * arr[..., 0].astype(np.int64)
+        + 587 * arr[..., 1].astype(np.int64)
+        + 114 * arr[..., 2].astype(np.int64)
+    )
+    rb = (np.arange(h, dtype=np.int64) * 8) // h
+    cb = (np.arange(w, dtype=np.int64) * 8) // w
+    sums = np.zeros((8, 8), dtype=np.int64)
+    np.add.at(sums, (rb[:, None], cb[None, :]), g)
+    counts = np.zeros((8, 8), dtype=np.int64)
+    np.add.at(counts, (rb[:, None], cb[None, :]), 1)
+    total = int(g.sum())
+    n = h * w
+    bits = (sums * n > total * counts).astype(np.uint64).flatten()
     val = np.uint64(0)
     for i, b in enumerate(bits):
         val |= b << np.uint64(i)
