@@ -499,6 +499,79 @@ FROM lineitem
 """
 
 
+def q_stats_groupby(spark, sf_dir):
+    """Nested GroupBy stat (GroupBy.scala analog): histogram of l_quantity
+    per returnflag through the stats DSL."""
+    from .operators.stats import run_stats
+
+    (li,) = _load(spark, sf_dir, "lineitem")
+    out = run_stats(li, "GroupBy(l_returnflag, Histogram(l_quantity,5,1.0,51.0))")
+    return list(out.values())[0]
+
+
+def _oracle_stats_groupby():
+    return """
+SELECT l_returnflag,
+       least(greatest(CAST(floor((l_quantity - 1.0) / 10.0) AS BIGINT), 0), 4) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+ST_INT_STRIDE = 101  # event stride for the st_intersection surface check
+ST_INT_HALF = 0.75
+
+
+def q_geo_st_intersection(spark, sf_dir):
+    """SQL-surface end-to-end: st_makeBBOX / st_intersection / st_area over
+    WKB columns through spark.sql. Per region box: how many event boxes
+    overlap it (area > 0) and the summed overlap area — the DuckDB oracle
+    computes the rectangle-overlap closed form."""
+    from .functions.st_funcs import register_st_functions
+
+    register_st_functions(spark)
+    pts = _points(spark, sf_dir).filter(F.col("event_id") % ST_INT_STRIDE == 0)
+    pts.select(
+        "event_id",
+        F.expr(
+            f"st_makeBBOX(lon - {ST_INT_HALF}, lat - {ST_INT_HALF}, "
+            f"lon + {ST_INT_HALF}, lat + {ST_INT_HALF})"
+        ).alias("geom"),
+    ).createOrReplaceTempView("ev_boxes")
+    rows = ", ".join(
+        f"('{pid}', {x0}d, {y0}d, {x1}d, {y1}d)"
+        for pid, (x0, y0, x1, y1) in BOXES.items()
+    )
+    return spark.sql(f"""
+        WITH polys AS (SELECT poly_id, st_makeBBOX(x0, y0, x1, y1) AS pgeom
+                       FROM VALUES {rows} AS t(poly_id, x0, y0, x1, y1)),
+        ix AS (SELECT poly_id, st_intersection(geom, pgeom) AS ig
+               FROM ev_boxes CROSS JOIN polys),
+        ar AS (SELECT poly_id, st_area(ig) AS a FROM ix WHERE ig IS NOT NULL)
+        SELECT poly_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+               round(sum(a), 6) AS total_area
+        FROM ar WHERE a > 0 GROUP BY poly_id
+    """)
+
+
+def _oracle_geo_st_intersection():
+    vals = ", ".join(
+        f"('{pid}', {x0}, {y0}, {x1}, {y1})" for pid, (x0, y0, x1, y1) in BOXES.items()
+    )
+    h = ST_INT_HALF
+    ow = f"(least(lon + {h}, x1) - greatest(lon - {h}, x0))"
+    oh = f"(least(lat + {h}, y1) - greatest(lat - {h}, y0))"
+    return f"""
+WITH pts AS (SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+             WHERE event_id % {ST_INT_STRIDE} = 0),
+boxes(poly_id, x0, y0, x1, y1) AS (VALUES {vals}),
+ov AS (SELECT poly_id, {ow} AS ow, {oh} AS oh FROM pts CROSS JOIN boxes),
+ar AS (SELECT poly_id, ow * oh AS a FROM ov WHERE ow > 0 AND oh > 0)
+SELECT poly_id, CAST(count(*) AS BIGINT) AS n_overlaps, round(sum(a), 6) AS total_area
+FROM ar WHERE a > 0 GROUP BY poly_id
+"""
+
+
 def q_tpch_q1(spark, sf_dir):
     (li,) = _load(spark, sf_dir, "lineitem")
     return (
@@ -1396,6 +1469,8 @@ QUERIES = {
     "geo_proximity_join": (q_geo_proximity_join, _oracle_geo_proximity_join()),
     "join_lookup": (q_join_lookup, _oracle_join_lookup()),
     "geo_track_label": (q_geo_track_label, _oracle_geo_track_label()),
+    "stats_groupby": (q_stats_groupby, _oracle_stats_groupby()),
+    "geo_st_intersection": (q_geo_st_intersection, _oracle_geo_st_intersection()),
     "stats_histogram": (q_stats_histogram, _oracle_stats_histogram()),
     "stats_topk": (q_stats_topk, _oracle_stats_topk()),
     "stats_enumeration": (q_stats_enumeration, _oracle_stats_enumeration()),

@@ -1,0 +1,319 @@
+"""Polygon boolean operations (from scratch, numpy/python — no JTS/shapely).
+
+Implements the geometry-processing surface the reference exposes through
+``st_intersection`` / ``st_difference``
+(``geomesa-spark-jts/.../udf/SpatialRelationFunctions.scala:55-57``, backed
+by JTS overlay) for SIMPLE hole-free polygons, plus half-plane clipping used
+by the antimeridian split (``GeometricProcessingFunctions.scala:41-57``).
+
+Algorithms (public):
+- Greiner & Hormann 1998 "Efficient clipping of arbitrary polygons" for
+  polygon∩polygon and polygon∖polygon — handles concave simple polygons;
+  degenerate inputs (shared edges / vertex-on-edge) are perturbation-free
+  only when crossings are proper, which the engine's callers guarantee for
+  its fixtures; otherwise results fall back to containment cases.
+- Sutherland & Hodgman 1974 for clipping against a half-plane (convex clip
+  region), used to split dateline-spanning rings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geometry import Geometry, points_in_polygon, polygon_edges
+
+_EPS = 1e-12
+
+
+def _ring(g: Geometry) -> np.ndarray:
+    """Open shell ring (N,2), ccw or cw as given, first != last."""
+    r = np.asarray(g.coords[0], dtype=np.float64)
+    if len(r) > 1 and np.allclose(r[0], r[-1]):
+        r = r[:-1]
+    return r
+
+
+def _poly(ring: np.ndarray) -> Geometry:
+    pts = tuple((float(x), float(y)) for x, y in ring)
+    return Geometry("Polygon", (pts + (pts[0],),))
+
+
+def _inside(pt, g: Geometry, boundary=True) -> bool:
+    e = polygon_edges(g)
+    return bool(
+        points_in_polygon(
+            np.array([pt[0]]), np.array([pt[1]]), e, include_boundary=boundary
+        )[0]
+    )
+
+
+class _Node:
+    __slots__ = ("xy", "inter", "entry", "visited", "nxt", "prv", "link", "t")
+
+    def __init__(self, xy, inter=False, t=0.0):
+        self.xy = (float(xy[0]), float(xy[1]))
+        self.inter = inter
+        self.entry = False
+        self.visited = False
+        self.nxt = self.prv = self.link = None
+        self.t = t
+
+
+def _build_list(ring: np.ndarray) -> _Node:
+    nodes = [_Node(p) for p in ring]
+    for i, n in enumerate(nodes):
+        n.nxt = nodes[(i + 1) % len(nodes)]
+        n.prv = nodes[i - 1]
+    return nodes[0]
+
+
+def _iter_ring(head: _Node):
+    n = head
+    while True:
+        yield n
+        n = n.nxt
+        if n is head:
+            break
+
+
+def _seg_intersections(a0, a1, b0, b1):
+    """Proper intersection of segments; -> (t_a, t_b, point) or None."""
+    d1 = (a1[0] - a0[0], a1[1] - a0[1])
+    d2 = (b1[0] - b0[0], b1[1] - b0[1])
+    den = d1[0] * d2[1] - d1[1] * d2[0]
+    if abs(den) < _EPS:
+        return None
+    ta = ((b0[0] - a0[0]) * d2[1] - (b0[1] - a0[1]) * d2[0]) / den
+    tb = ((b0[0] - a0[0]) * d1[1] - (b0[1] - a0[1]) * d1[0]) / den
+    if ta < -_EPS or ta > 1 + _EPS or tb < -_EPS or tb > 1 + _EPS:
+        return None
+    if ta < _EPS or ta > 1 - _EPS or tb < _EPS or tb > 1 - _EPS:
+        # endpoint touch — treated as degenerate (no proper crossing)
+        return None
+    return ta, tb, (a0[0] + ta * d1[0], a0[1] + ta * d1[1])
+
+
+def _insert_intersections(sub_head: _Node, clip_head: _Node) -> int:
+    count = 0
+    sub_orig = [n for n in _iter_ring(sub_head) if not n.inter]
+    clip_orig = [n for n in _iter_ring(clip_head) if not n.inter]
+    for sn in sub_orig:
+        s_end = sn.nxt
+        while s_end.inter:
+            s_end = s_end.nxt
+        pending = []
+        for cn in clip_orig:
+            c_end = cn.nxt
+            while c_end.inter:
+                c_end = c_end.nxt
+            hit = _seg_intersections(sn.xy, s_end.xy, cn.xy, c_end.xy)
+            if hit is None:
+                continue
+            ta, tb, pt = hit
+            ns = _Node(pt, inter=True, t=ta)
+            nc = _Node(pt, inter=True, t=tb)
+            ns.link, nc.link = nc, ns
+            pending.append(ns)
+            # insert nc into clip edge sorted by tb
+            cur = cn
+            while cur.nxt.inter and cur.nxt.t < tb:
+                cur = cur.nxt
+            nc.nxt, nc.prv = cur.nxt, cur
+            cur.nxt.prv = nc
+            cur.nxt = nc
+            count += 1
+        # insert subject-side nodes sorted by ta
+        for ns in sorted(pending, key=lambda n: n.t):
+            cur = sn
+            while cur.nxt.inter and cur.nxt.t < ns.t:
+                cur = cur.nxt
+            ns.nxt, ns.prv = cur.nxt, cur
+            cur.nxt.prv = ns
+            cur.nxt = ns
+    return count
+
+
+def _mark_entries(head: _Node, other: Geometry, forward_inside: bool) -> None:
+    """Alternate entry/exit flags along the ring, seeded by whether the ring
+    start lies inside ``other`` (strictly)."""
+    inside = _inside(head.xy, other, boundary=False)
+    entry = not inside if forward_inside else inside
+    for n in _iter_ring(head):
+        if n.inter:
+            n.entry = entry
+            entry = not entry
+
+
+def polygon_overlay(a: Geometry, b: Geometry, op: str) -> Geometry | None:
+    """Polygon intersection ('int') or difference ('diff') of simple
+    hole-free polygons. Returns Polygon, MultiPolygon, or None for an empty
+    result. Degenerate overlays (collinear shared edges) resolve through the
+    containment fall-backs."""
+    assert op in ("int", "diff")
+    ra, rb = _ring(a), _ring(b)
+    sub = _build_list(ra)
+    clp = _build_list(rb)
+    n_int = _insert_intersections(sub, clp)
+
+    if n_int == 0:
+        a_in_b = _inside(ra[0], b) and all(_inside(p, b) for p in ra)
+        b_in_a = _inside(rb[0], a) and all(_inside(p, a) for p in rb)
+        if op == "int":
+            if a_in_b:
+                return a
+            if b_in_a:
+                return b
+            return None
+        if a_in_b:
+            return None
+        if b_in_a:
+            # subject with the clip as a hole
+            shell = tuple((float(x), float(y)) for x, y in ra) + (
+                (float(ra[0][0]), float(ra[0][1])),
+            )
+            hole = tuple((float(x), float(y)) for x, y in rb) + (
+                (float(rb[0][0]), float(rb[0][1])),
+            )
+            return Geometry("Polygon", (shell, hole))
+        return a
+
+    # Greiner–Hormann seeding: intersection = both lists normal; difference
+    # A∖B inverts the SUBJECT flags (walk A's boundary while outside B)
+    _mark_entries(sub, b, forward_inside=(op == "int"))
+    _mark_entries(clp, a, forward_inside=True)
+
+    polys = []
+    while True:
+        start = None
+        for n in _iter_ring(sub):
+            if n.inter and not n.visited:
+                start = n
+                break
+        if start is None:
+            break
+        ring = [start.xy]
+        cur = start
+        while True:
+            cur.visited = True
+            if cur.link is not None:
+                cur.link.visited = True
+            node = cur
+            if cur.entry:
+                while True:
+                    node = node.nxt
+                    ring.append(node.xy)
+                    if node.inter:
+                        break
+            else:
+                while True:
+                    node = node.prv
+                    ring.append(node.xy)
+                    if node.inter:
+                        break
+            node.visited = True
+            cur = node.link
+            if cur is start or cur.link is start:
+                break
+            if cur.visited:
+                break
+        # dedupe consecutive duplicates and the closing point
+        cleaned = [ring[0]]
+        for p in ring[1:]:
+            if abs(p[0] - cleaned[-1][0]) > _EPS or abs(p[1] - cleaned[-1][1]) > _EPS:
+                cleaned.append(p)
+        while len(cleaned) > 1 and (
+            abs(cleaned[0][0] - cleaned[-1][0]) <= _EPS
+            and abs(cleaned[0][1] - cleaned[-1][1]) <= _EPS
+        ):
+            cleaned.pop()
+        if len(cleaned) >= 3:
+            polys.append(np.asarray(cleaned))
+
+    if not polys:
+        return None
+    if len(polys) == 1:
+        return _poly(polys[0])
+    return Geometry(
+        "MultiPolygon",
+        tuple(
+            (
+                tuple((float(x), float(y)) for x, y in r)
+                + ((float(r[0][0]), float(r[0][1])),),
+            )
+            for r in polys
+        ),
+    )
+
+
+def halfplane_clip(ring: np.ndarray, axis_x: float, keep_left: bool) -> np.ndarray:
+    """Sutherland–Hodgman clip of a ring against the vertical line
+    x = axis_x, keeping x <= axis_x (keep_left) or x >= axis_x."""
+    out = []
+    n = len(ring)
+    for i in range(n):
+        cur, nxt = ring[i], ring[(i + 1) % n]
+        cin = cur[0] <= axis_x if keep_left else cur[0] >= axis_x
+        nin = nxt[0] <= axis_x if keep_left else nxt[0] >= axis_x
+        if cin:
+            out.append(tuple(cur))
+        if cin != nin:
+            t = (axis_x - cur[0]) / (nxt[0] - cur[0])
+            out.append((axis_x, cur[1] + t * (nxt[1] - cur[1])))
+    return np.asarray(out) if len(out) >= 3 else np.zeros((0, 2))
+
+
+def split_antimeridian(g: Geometry) -> Geometry:
+    """Split a polygon whose ring genuinely spans the dateline into a
+    MultiPolygon with parts on either side (the reference's
+    antimeridianSafeGeom semantics). The input ring may carry raw longitudes
+    outside [-180, 180] (e.g. 170..190); rings already inside the range with
+    x-extent <= 180 are returned unchanged (wrapped)."""
+    if g.kind != "Polygon":
+        return g
+    r = _ring(g).copy()
+    # unwrap: make the ring continuous (no jump > 180 between neighbours)
+    for i in range(1, len(r)):
+        while r[i, 0] - r[i - 1, 0] > 180.0:
+            r[i, 0] -= 360.0
+        while r[i, 0] - r[i - 1, 0] < -180.0:
+            r[i, 0] += 360.0
+    lo, hi = float(r[:, 0].min()), float(r[:, 0].max())
+    if hi - lo > 360.0:
+        return g  # wraps the globe; not splittable
+    # shift so the ring sits in (-180, 540) and test which boundary it crosses
+    while lo > 180.0:
+        r[:, 0] -= 360.0
+        lo -= 360.0
+        hi -= 360.0
+    while hi < -180.0:
+        r[:, 0] += 360.0
+        lo += 360.0
+        hi += 360.0
+    parts = []
+    if hi > 180.0 and lo < 180.0:
+        west = halfplane_clip(r, 180.0, keep_left=True)
+        east = halfplane_clip(r, 180.0, keep_left=False)
+        east[:, 0] -= 360.0
+        parts = [p for p in (west, east) if len(p)]
+    elif lo < -180.0 and hi > -180.0:
+        east = halfplane_clip(r, -180.0, keep_left=False)
+        west = halfplane_clip(r, -180.0, keep_left=True)
+        west[:, 0] += 360.0
+        parts = [p for p in (east, west) if len(p)]
+    else:
+        if hi > 180.0 or lo < -180.0:  # entirely out of range: translate
+            shift = -360.0 if hi > 180.0 else 360.0
+            r[:, 0] += shift
+        return _poly(r)
+    if len(parts) == 1:
+        return _poly(parts[0])
+    return Geometry(
+        "MultiPolygon",
+        tuple(
+            (
+                tuple((float(x), float(y)) for x, y in p)
+                + ((float(p[0][0]), float(p[0][1])),),
+            )
+            for p in parts
+        ),
+    )

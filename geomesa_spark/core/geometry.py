@@ -739,6 +739,242 @@ def distance_sphere_m(a: Geometry, b: Geometry) -> float:
     return float(haversine_m(a.coords[0], a.coords[1], b.coords[0], b.coords[1]))
 
 
+# ---------------------------------------------------------------------------
+# DE-9IM matrix, simplicity, closest point (st_relate / st_isSimple /
+# st_closestPoint analogs — SpatialRelationFunctions.scala:40-46,
+# GeometricAccessorFunctions.scala:55-70)
+# ---------------------------------------------------------------------------
+
+_PART_DIM = {"I": None, "B": None, "E": 2}  # I/B depend on the geometry
+
+
+def _region_dim(g: Geometry, part: str) -> int:
+    """Topological dimension of I/B/E of g (-1 = empty set)."""
+    if part == "E":
+        return 2
+    if part == "I":
+        return g.dim
+    # boundary
+    if g.dim == 2:
+        return 1
+    if g.dim == 1:
+        closed = all(p.coords[0] == p.coords[-1] for p in g.parts())
+        return -1 if closed else 0
+    return -1  # points have empty boundary
+
+
+def _de9im_candidates(a: Geometry, b: Geometry):
+    """Candidate probe points: vertices, dense edge samples, pairwise edge
+    intersections, interior probes, and far-exterior points. Returns
+    (points, adjacency) where adjacency marks consecutive samples along one
+    edge (used to promote dimension 0 -> 1)."""
+    pts: list[tuple[float, float]] = []
+    runs: list[tuple[int, int]] = []  # [start, end) index ranges of edge runs
+    for g in (a, b):
+        for path in g.rings():
+            for i in range(path.shape[0] - 1):
+                s = len(pts)
+                for t in np.linspace(0.0, 1.0, 17):
+                    p = path[i] * (1 - t) + path[i + 1] * t
+                    pts.append((float(p[0]), float(p[1])))
+                runs.append((s, len(pts)))
+        if g.kind in ("Point", "MultiPoint"):
+            pts.extend((float(p[0]), float(p[1])) for p in _iter_points(g))
+    ea, eb = _edge_array(a), _edge_array(b)
+    for x0, y0, x1, y1 in ea:
+        for u0, v0, u1, v1 in eb:
+            d1 = (x1 - x0, y1 - y0)
+            d2 = (u1 - u0, v1 - v0)
+            den = d1[0] * d2[1] - d1[1] * d2[0]
+            if abs(den) < _EPS:
+                continue
+            ta = ((u0 - x0) * d2[1] - (v0 - y0) * d2[0]) / den
+            tb = ((u0 - x0) * d1[1] - (v0 - y0) * d1[0]) / den
+            if -_EPS <= ta <= 1 + _EPS and -_EPS <= tb <= 1 + _EPS:
+                pts.append((x0 + ta * d1[0], y0 + ta * d1[1]))
+    for g in (a, b):
+        p = _interior_probe(g)
+        if p is not None:
+            pts.append((float(p[0]), float(p[1])))
+    # offset probes around every vertex/crossing: populate the interior/
+    # exterior classes on both sides of boundaries
+    delta = 1e-6
+    base = list(pts)
+    for px, py in base:
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1), (1, -1), (-1, 1)):
+            pts.append((px + dx * delta, py + dy * delta))
+    # coarse grid over the expanded union bbox: area-class coverage (IE/EI/EE)
+    ab = a.bounds()
+    bb = b.bounds()
+    x0, y0 = min(ab[0], bb[0]) - 1.0, min(ab[1], bb[1]) - 1.0
+    x1, y1 = max(ab[2], bb[2]) + 1.0, max(ab[3], bb[3]) + 1.0
+    for gx in np.linspace(x0, x1, 7):
+        for gy in np.linspace(y0, y1, 7):
+            pts.append((float(gx), float(gy)))
+    return pts, runs
+
+
+def de9im(a: Geometry, b: Geometry) -> str:
+    """DE-9IM matrix string (row-major II IB IE / BI BB BE / EI EB EE).
+
+    Probe-based: classifies a dense candidate set (vertices, edge samples,
+    edge crossings, interior probes) against both geometries and infers each
+    entry's dimension — exact for the simple point/line/polygon fixtures the
+    reference's relate tests cover (SparkSQLSpatialRelationshipsTest), with
+    dimension promoted to 1 when a whole edge-sample run matches and to 2
+    for polygon interior overlaps.
+    """
+    pts, runs = _de9im_candidates(a, b)
+    cls_a = [_classify_point(p, a) for p in pts]
+    cls_b = [_classify_point(p, b) for p in pts]
+    code = {"interior": "I", "boundary": "B", "exterior": "E"}
+    cls_a = [code[c] for c in cls_a]
+    cls_b = [code[c] for c in cls_b]
+
+    out = []
+    for pa in "IBE":
+        for pb in "IBE":
+            da, db = _region_dim(a, pa), _region_dim(b, pb)
+            if da < 0 or db < 0:
+                out.append("F")
+                continue
+            matches = [
+                i for i in range(len(pts)) if cls_a[i] == pa and cls_b[i] == pb
+            ]
+            if not matches:
+                out.append("F")
+                continue
+            cap = min(da, db)
+            if pa == "E" and pb == "E":
+                out.append("2")  # exteriors of bounded geometries
+                continue
+            if cap == 0:
+                out.append("0")
+                continue
+            if pa == "I" and pb == "I" and a.dim == 2 and b.dim == 2:
+                out.append("2")
+                continue
+            if (pa, pb) in (("I", "E"), ("E", "I")) and max(
+                (a.dim if pa == "I" else b.dim), 0
+            ) == 2:
+                out.append(str(cap))
+                continue
+            # promote to 1 when >= 3 consecutive samples of one edge match
+            mset = set(matches)
+            dim1 = False
+            for s, e in runs:
+                row = [i in mset for i in range(s, e)]
+                if any(row[i] and row[i + 1] and row[i + 2] for i in range(len(row) - 2)):
+                    dim1 = True
+                    break
+            out.append("1" if dim1 and cap >= 1 else "0")
+    return "".join(out)
+
+
+def de9im_matches(matrix: str, pattern: str) -> bool:
+    """OGC relate pattern match: T = non-F, * = any, 0/1/2/F exact."""
+    if len(pattern) != 9:
+        raise ValueError(f"pattern must have 9 chars, got {pattern!r}")
+    for m, p in zip(matrix, pattern.upper()):
+        if p == "*":
+            continue
+        if p == "T":
+            if m == "F":
+                return False
+        elif m != p:
+            return False
+    return True
+
+
+def is_simple(g: Geometry) -> bool:
+    """OGC isSimple: no self-intersections (anchored at non-adjacent
+    segments); MultiPoint simple iff no duplicate points."""
+    if g.kind in ("Point",):
+        return True
+    if g.kind == "MultiPoint":
+        seen = set()
+        for p in _iter_points(g):
+            key = (round(p[0], 12), round(p[1], 12))
+            if key in seen:
+                return False
+            seen.add(key)
+        return True
+    for part in g.parts():
+        segs = []
+        for path in part.rings():
+            arr = np.asarray(path, dtype=np.float64)
+            closed = np.allclose(arr[0], arr[-1])
+            n = arr.shape[0] - 1
+            for i in range(n):
+                segs.append((arr[i], arr[i + 1], i, n, closed))
+        for i in range(len(segs)):
+            for j in range(i + 1, len(segs)):
+                a0, a1, ia, na, ca = segs[i]
+                b0, b1, ib, nb, cb = segs[j]
+                adjacent = abs(ia - ib) == 1 or (
+                    ca and {ia, ib} == {0, na - 1}
+                )
+                sa = np.array([[a0[0], a0[1], a1[0], a1[1]]])
+                sb = np.array([[b0[0], b0[1], b1[0], b1[1]]])
+                if adjacent:
+                    # only a proper (interior) crossing counts for neighbours
+                    d1 = _orient(a0[0], a0[1], a1[0], a1[1], b0[0], b0[1])
+                    d2 = _orient(a0[0], a0[1], a1[0], a1[1], b1[0], b1[1])
+                    d3 = _orient(b0[0], b0[1], b1[0], b1[1], a0[0], a0[1])
+                    d4 = _orient(b0[0], b0[1], b1[0], b1[1], a1[0], a1[1])
+                    if (d1 * d2) < -_EPS and (d3 * d4) < -_EPS:
+                        return False
+                elif _any_segment_intersection(sa, sb):
+                    return False
+    return True
+
+
+def closest_point_on(a: Geometry, b: Geometry) -> tuple[float, float]:
+    """Point ON geometry ``a`` nearest to geometry ``b`` (planar), the JTS
+    closestPoints[0] analog behind st_closestPoint."""
+    if a.kind == "Point":
+        return (float(a.coords[0]), float(a.coords[1]))
+    ea = _edge_array(a)
+    if a.kind == "MultiPoint" or ea.shape[0] == 0:
+        best, bd = None, np.inf
+        eb = _edge_array(b)
+        for p in _iter_points(a):
+            d = _point_to_geom_dist(p, b, eb)
+            if d < bd:
+                best, bd = (float(p[0]), float(p[1])), d
+        return best
+    if _intersects(a, b) and a.dim == 2:
+        p = _interior_probe(b) or next(_iter_points(b))
+        if _classify_point(p, a) != "exterior":
+            return (float(p[0]), float(p[1]))
+    best, bd = None, np.inf
+    # candidates: projections of b's sample points onto a's edges
+    for p in _sample_points(b) + list(_iter_points(b)):
+        px, py = float(p[0]), float(p[1])
+        x0, y0, x1, y1 = ea[:, 0], ea[:, 1], ea[:, 2], ea[:, 3]
+        dx, dy = x1 - x0, y1 - y0
+        L2 = np.maximum(dx * dx + dy * dy, _EPS)
+        t = np.clip(((px - x0) * dx + (py - y0) * dy) / L2, 0.0, 1.0)
+        qx, qy = x0 + t * dx, y0 + t * dy
+        d = np.hypot(qx - px, qy - py)
+        i = int(np.argmin(d))
+        if d[i] < bd:
+            best, bd = (float(qx[i]), float(qy[i])), float(d[i])
+    return best
+
+
+def _point_to_geom_dist(p, g: Geometry, eg: np.ndarray) -> float:
+    px, py = float(p[0]), float(p[1])
+    if eg.shape[0] == 0:
+        pts = np.asarray(list(_iter_points(g)), dtype=np.float64)
+        return float(np.hypot(pts[:, 0] - px, pts[:, 1] - py).min())
+    x0, y0, x1, y1 = eg[:, 0], eg[:, 1], eg[:, 2], eg[:, 3]
+    dx, dy = x1 - x0, y1 - y0
+    L2 = np.maximum(dx * dx + dy * dy, _EPS)
+    t = np.clip(((px - x0) * dx + (py - y0) * dy) / L2, 0.0, 1.0)
+    return float(np.hypot(x0 + t * dx - px, y0 + t * dy - py).min())
+
+
 def buffer_point_deg(lon: float, lat: float, meters: float, n: int = 100) -> Geometry:
     """Geodesic-approximate circular buffer of a point, in degrees.
 

@@ -102,10 +102,27 @@ def geom_envelope(g: G.Geometry) -> G.Geometry:
 
 
 def antimeridian_safe(g: G.Geometry) -> G.Geometry:
-    """st_antimeridianSafeGeom analog (GeometricProcessingFunctions.scala:41-57):
-    translate out-of-range longitudes into [-180, 180]. Splitting polygons
-    that genuinely span the dateline is handled by emitting the translated
-    geometry; covers computed from it stay sound because cover cells wrap."""
+    """st_antimeridianSafeGeom analog (GeometricProcessingFunctions.scala:41-57).
+
+    Polygons genuinely spanning the dateline are SPLIT into a MultiPolygon
+    with one part on each side (clip.split_antimeridian — the reference's
+    JTS-based split); a naive per-vertex wrap would turn a 170..190 shell
+    into a ring running the wrong way around the globe, corrupting area and
+    predicates. Points/lines get plain longitude wrapping.
+    """
+    from ..core.clip import split_antimeridian
+
+    if g.kind == "Polygon":
+        return split_antimeridian(g)
+    if g.kind == "MultiPolygon":
+        parts = []
+        for p in g.parts():
+            s = split_antimeridian(p)
+            parts.extend(s.parts())
+        return G.Geometry(
+            "MultiPolygon", tuple(p.coords for p in parts)
+        ) if len(parts) != 1 else parts[0]
+
     def wrap(x: float) -> float:
         while x > 180.0:
             x -= 360.0
@@ -118,8 +135,8 @@ def antimeridian_safe(g: G.Geometry) -> G.Geometry:
             return (wrap(coords[0]), coords[1])
         return tuple(walk(c, depth - 1) for c in coords)
 
-    depth = {"Point": 0, "LineString": 1, "Polygon": 2, "MultiPoint": 1,
-             "MultiLineString": 2, "MultiPolygon": 3}.get(g.kind)
+    depth = {"Point": 0, "LineString": 1, "MultiPoint": 1,
+             "MultiLineString": 2}.get(g.kind)
     if depth is None:
         return g
     return G.Geometry(g.kind, walk(g.coords, depth))
@@ -295,6 +312,39 @@ def _build():
         F.pandas_udf(point_from_geohash, T.BinaryType()), "geohash_string",
     )
 
+    # st_makeLine(array<point_wkb>) / st_makePolygon(closed line) / st_polygon
+    # (GeometricConstructorFunctions.scala:33-46)
+    def make_line(arrs: pd.Series) -> pd.Series:
+        out = []
+        for arr in arrs:
+            if arr is None or len(arr) < 2:
+                out.append(None)
+                continue
+            pts = []
+            for b in arr:
+                g = _parse(b)
+                pts.extend(
+                    (float(p[0]), float(p[1])) for p in G._iter_points(g)
+                )
+            out.append(_wkb(G.Geometry("LineString", tuple(pts))))
+        return pd.Series(out)
+
+    reg["st_makeLine"] = (
+        F.pandas_udf(make_line, T.BinaryType()), "array<point_wkb>",
+    )
+
+    def make_polygon(g: G.Geometry):
+        if g.kind != "LineString" or len(g.coords) < 4:
+            return None
+        ring = tuple(g.coords)
+        if ring[0] != ring[-1]:
+            return None  # reference requires a closed ring
+        return _wkb(G.Geometry("Polygon", (ring,)))
+
+    mk_poly = F.pandas_udf(_u_geom(make_polygon), T.BinaryType())
+    for name in ("st_makePolygon", "st_polygon"):
+        reg[name] = (mk_poly, "closed_line")
+
     # accessors ------------------------------------------------------------
     acc = {
         "st_geometryType": (lambda g: g.kind, T.StringType()),
@@ -302,6 +352,26 @@ def _build():
         "st_coordDim": (lambda g: 2, T.IntegerType()),
         "st_isEmpty": (lambda g: len(g.coords) == 0, T.BooleanType()),
         "st_isValid": (lambda g: True, T.BooleanType()),
+        "st_isClosed": (
+            # closed iff every component curve ends where it starts; points
+            # and polygons are closed by definition (GeometricAccessor:44-50)
+            lambda g: (
+                all(p.coords[0] == p.coords[-1] for p in g.parts())
+                if g.dim == 1
+                else True
+            ),
+            T.BooleanType(),
+        ),
+        "st_isRing": (
+            lambda g: (
+                g.kind == "LineString"
+                and len(g.coords) >= 4
+                and g.coords[0] == g.coords[-1]
+                and G.is_simple(g)
+            ),
+            T.BooleanType(),
+        ),
+        "st_isSimple": (G.is_simple, T.BooleanType()),
         "st_isCollection": (
             lambda g: g.kind.startswith("Multi") or g.kind == "GeometryCollection",
             T.BooleanType(),
@@ -372,6 +442,28 @@ def _build():
 
     reg["st_geometryN"] = (F.pandas_udf(geometry_n, T.BinaryType()), "geom, n")
 
+    def interior_ring_n(b: pd.Series, n: pd.Series) -> pd.Series:
+        out = []
+        for x, i in zip(b, n):
+            if x is None or i is None:
+                out.append(None)
+                continue
+            g = _parse(x)
+            if g.kind != "Polygon" or len(g.coords) < 2:
+                out.append(None)
+                continue
+            i = int(i)  # 1-based over interior rings (holes)
+            out.append(
+                _wkb(G.Geometry("LineString", g.coords[i]))
+                if 1 <= i < len(g.coords)
+                else None
+            )
+        return pd.Series(out)
+
+    reg["st_interiorRingN"] = (
+        F.pandas_udf(interior_ring_n, T.BinaryType()), "polygon, n",
+    )
+
     # predicates -----------------------------------------------------------
     for name, pred in [
         ("st_contains", "contains"), ("st_covers", "covers"),
@@ -381,7 +473,61 @@ def _build():
         ("st_within", "within"),
     ]:
         reg[name] = (_predicate_udf(pred), "geom_a, geom_b")
-    reg["st_relateBool"] = reg["st_intersects"]  # pattern relate: see relate()
+
+    # DE-9IM matrix + pattern relate (SpatialRelationFunctions.scala:40-41)
+    reg["st_relate"] = (
+        F.pandas_udf(_u_geom_geom(lambda x, y: G.de9im(x, y)), T.StringType()),
+        "geom_a, geom_b",
+    )
+
+    def relate_bool(a: pd.Series, b: pd.Series, pat: pd.Series) -> pd.Series:
+        out = []
+        for x, y, p in zip(a, b, pat):
+            if x is None or y is None or p is None:
+                out.append(None)
+            else:
+                out.append(G.de9im_matches(G.de9im(_parse(x), _parse(y)), str(p)))
+        return pd.Series(out)
+
+    reg["st_relateBool"] = (
+        F.pandas_udf(relate_bool, T.BooleanType()), "geom_a, geom_b, pattern",
+    )
+
+    # overlay (st_intersection / st_difference; JTS overlay analog for
+    # simple polygons via Greiner-Hormann, point-vs-area short-circuits)
+    def _overlay(op):
+        def fn(x: G.Geometry, y: G.Geometry):
+            if x.kind == "Point":
+                inside = G.relate(y, x, "covers") if y.dim == 2 else G.relate(
+                    x, y, "intersects"
+                )
+                keep = inside if op == "int" else not inside
+                return G.to_wkb(x) if keep else None
+            if x.kind == "Polygon" and y.kind == "Polygon":
+                from ..core.clip import polygon_overlay
+
+                r = polygon_overlay(x, y, op)
+                return None if r is None else G.to_wkb(r)
+            return None  # lines/multi overlays out of scope (documented)
+
+        return fn
+
+    reg["st_intersection"] = (
+        F.pandas_udf(_u_geom_geom(_overlay("int")), T.BinaryType()),
+        "geom_a, geom_b",
+    )
+    reg["st_difference"] = (
+        F.pandas_udf(_u_geom_geom(_overlay("diff")), T.BinaryType()),
+        "geom_a, geom_b",
+    )
+
+    reg["st_closestPoint"] = (
+        F.pandas_udf(
+            _u_geom_geom(lambda x, y: G.to_wkb(G.point(*G.closest_point_on(x, y)))),
+            T.BinaryType(),
+        ),
+        "geom_a, geom_b",
+    )
 
     # measures -------------------------------------------------------------
     def dist_planar(a: pd.Series, b: pd.Series) -> pd.Series:

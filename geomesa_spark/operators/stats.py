@@ -120,62 +120,100 @@ def z3_histogram(
 _STAT_RE = re.compile(r"(\w+)\(([^)]*)\)")
 
 
+def _eval_stat(df: DataFrame, part: str, group_cols: list[str]) -> DataFrame:
+    """Evaluate one stat term, optionally nested under GroupBy columns.
+
+    Any stat nests (GroupBy.scala supports arbitrary nested stats, incl.
+    GroupBy(GroupBy(...)) — :36-40): grouping columns accumulate and every
+    leaf stat is expressed against ``df.groupBy(*group_cols)``.
+    """
+    if part.lower().startswith("groupby("):
+        inner = part[len("groupby(") : -1]
+        gcol, sub = inner.split(",", 1)
+        return _eval_stat(df, sub.strip(), group_cols + [gcol.strip()])
+
+    m = _STAT_RE.match(part)
+    if not m:
+        raise ValueError(f"bad stat spec: {part}")
+    name = m.group(1)
+    args = [a.strip() for a in m.group(2).split(",") if a.strip()]
+    g = df.groupBy(*group_cols) if group_cols else df.groupBy()
+
+    if name == "Count":
+        return g.agg(F.count("*").alias("cnt"))
+    if name == "MinMax":
+        return g.agg(
+            F.min(args[0]).alias("min_v"),
+            F.max(args[0]).alias("max_v"),
+            F.approx_count_distinct(args[0]).alias("approx_distinct"),
+        )
+    if name == "DescriptiveStats":
+        c = F.col(args[0])
+        return g.agg(
+            F.count(c).alias("cnt"),
+            F.min(c).alias("min_v"),
+            F.max(c).alias("max_v"),
+            F.avg(c).alias("mean_v"),
+            F.var_samp(c).alias("var_v"),
+            F.stddev_samp(c).alias("std_v"),
+            F.skewness(c).alias("skew_v"),
+            F.kurtosis(c).alias("kurt_v"),
+        )
+    if name == "Histogram":
+        col, bins, lo, hi = args[0], int(args[1]), float(args[2]), float(args[3])
+        w = (hi - lo) / bins
+        bucket = F.least(
+            F.greatest(F.floor((F.col(col) - lo) / w).cast("long"), F.lit(0)),
+            F.lit(bins - 1),
+        )
+        return df.groupBy(*group_cols, bucket.alias("bucket")).agg(
+            F.count("*").alias("n")
+        )
+    if name in ("Enumeration", "Frequency", "Z3Frequency"):
+        return df.groupBy(*group_cols, F.col(args[0]).alias("value")).agg(
+            F.count("*").alias("n")
+        )
+    if name == "TopK":
+        col, k = args[0], int(args[1])
+        counts = df.groupBy(*group_cols, F.col(col).alias("value")).agg(
+            F.count("*").alias("n")
+        )
+        w = (
+            Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+        ).orderBy(F.col("n").desc(), F.col("value").asc())
+        return (
+            counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+        )
+    if name == "Z3Histogram":
+        if group_cols:
+            raise ValueError("GroupBy(Z3Histogram) not supported")
+        return z3_histogram(
+            df, *(args[:3] or ["lon", "lat", "ts"]),
+            period=args[3] if len(args) > 3 else "week",
+            res=int(args[4]) if len(args) > 4 else 4,
+        )
+    if name == "IteratorStackCount":
+        # no server-side iterators exist; report executor partition count
+        return df.select(F.spark_partition_id().alias("pid")).agg(
+            F.countDistinct("pid").alias("cnt")
+        )
+    raise ValueError(f"unknown stat: {name}")
+
+
 def run_stats(df: DataFrame, spec: str) -> dict[str, DataFrame]:
     """StatsProcess analog: evaluate a semicolon-joined stat spec string.
 
-    Grammar (subset of StatParser.scala:93-216):
-    ``Count()``, ``MinMax(col)``, ``Histogram(col,bins,lo,hi)``,
-    ``TopK(col,k)``, ``Enumeration(col)``, ``DescriptiveStats(col)``,
-    ``GroupBy(col,<stat>)``.
+    Grammar (StatParser.scala:93-216 subset): ``Count()``, ``MinMax(col)``,
+    ``Histogram(col,bins,lo,hi)``, ``TopK(col,k)``, ``Enumeration(col)``,
+    ``Frequency(col)``, ``DescriptiveStats(col)``, ``Z3Histogram(...)``,
+    and ``GroupBy(col, <any stat>)`` with arbitrary nesting
+    (``GroupBy(a, GroupBy(b, TopK(c,3)))``), mirroring GroupBy.scala's
+    nested-stat support.
     """
     out: dict[str, DataFrame] = {}
     for part in spec.split(";"):
         part = part.strip()
-        if not part:
-            continue
-        if part.lower().startswith("groupby("):
-            inner = part[len("groupby(") : -1]
-            gcol, sub = inner.split(",", 1)
-            m = _STAT_RE.match(sub.strip())
-            name, args = m.group(1), [a.strip() for a in m.group(2).split(",") if a.strip()]
-            if name == "Count":
-                out[part] = df.groupBy(gcol.strip()).agg(F.count("*").alias("cnt"))
-            elif name == "MinMax":
-                out[part] = df.groupBy(gcol.strip()).agg(
-                    F.min(args[0]).alias("min_v"), F.max(args[0]).alias("max_v")
-                )
-            else:
-                raise ValueError(f"GroupBy supports Count/MinMax, got {name}")
-            continue
-        m = _STAT_RE.match(part)
-        if not m:
-            raise ValueError(f"bad stat spec: {part}")
-        name, args = m.group(1), [a.strip() for a in m.group(2).split(",") if a.strip()]
-        if name == "Count":
-            out[part] = df.agg(F.count("*").alias("cnt"))
-        elif name == "MinMax":
-            out[part] = minmax(df, args[0])
-        elif name == "Histogram":
-            out[part] = histogram(df, args[0], int(args[1]), float(args[2]), float(args[3]))
-        elif name == "TopK":
-            out[part] = top_k(df, args[0], int(args[1]))
-        elif name == "Enumeration":
-            out[part] = enumeration(df, args[0])
-        elif name == "DescriptiveStats":
-            out[part] = descriptive(df, args[0])
-        elif name in ("Frequency", "Z3Frequency"):
-            out[part] = frequency(df, args[0])
-        elif name == "Z3Histogram":
-            out[part] = z3_histogram(
-                df, *(args[:3] or ["lon", "lat", "ts"]),
-                period=args[3] if len(args) > 3 else "week",
-                res=int(args[4]) if len(args) > 4 else 4,
-            )
-        elif name == "IteratorStackCount":
-            # no server-side iterators exist; report executor partition count
-            out[part] = df.select(F.spark_partition_id().alias("pid")).agg(
-                F.countDistinct("pid").alias("cnt")
-            )
-        else:
-            raise ValueError(f"unknown stat: {name}")
+        if part:
+            out[part] = _eval_stat(df, part, [])
     return out

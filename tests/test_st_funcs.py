@@ -156,3 +156,104 @@ def test_null_propagation(spark):
         )
         is None
     )
+
+
+# --- round-2 surface: overlay, relate matrix, constructors, ring accessors --
+
+
+def test_st_relate_matrix(spark):
+    """DE-9IM matrices pinned to JTS-golden values
+    (SpatialRelationFunctions.scala:40 st_relate)."""
+    box = "st_geomFromWKT('POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))')"
+    cases = {
+        "st_geomFromWKT('POLYGON((2 2, 5 2, 5 5, 2 5, 2 2))')": "212FF1FF2",
+        "st_geomFromWKT('POLYGON((5 5, 15 5, 15 15, 5 15, 5 5))')": "212101212",
+        "st_geomFromWKT('POLYGON((20 0, 25 0, 25 5, 20 5, 20 0))')": "FF2FF1212",
+    }
+    for other, exp in cases.items():
+        assert _sql1(spark, f"st_relate({box}, {other})") == exp
+
+
+def test_st_relate_bool_pattern(spark):
+    box = "st_geomFromWKT('POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))')"
+    inner = "st_geomFromWKT('POLYGON((2 2, 5 2, 5 5, 2 5, 2 2))')"
+    # contains pattern
+    assert _sql1(spark, f"st_relateBool({box}, {inner}, 'T*****FF*')") is True
+    assert _sql1(spark, f"st_relateBool({inner}, {box}, 'T*****FF*')") is False
+
+
+def test_st_intersection_and_difference(spark):
+    a = "st_geomFromWKT('POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))')"
+    b = "st_geomFromWKT('POLYGON((5 5, 15 5, 15 15, 5 15, 5 5))')"
+    assert _sql1(spark, f"st_area(st_intersection({a}, {b}))") == pytest.approx(25.0)
+    assert _sql1(spark, f"st_area(st_difference({a}, {b}))") == pytest.approx(75.0)
+    # disjoint -> empty intersection (NULL), full difference
+    c = "st_geomFromWKT('POLYGON((20 20, 21 20, 21 21, 20 21, 20 20))')"
+    assert _sql1(spark, f"st_intersection({a}, {c})") is None
+    assert _sql1(spark, f"st_area(st_difference({a}, {c}))") == pytest.approx(100.0)
+    # contained clip -> polygon with hole
+    d = "st_geomFromWKT('POLYGON((3 3, 4 3, 4 4, 3 4, 3 3))')"
+    assert _sql1(spark, f"st_area(st_difference({a}, {d}))") == pytest.approx(99.0)
+
+
+def test_st_closest_point(spark):
+    a = "st_geomFromWKT('POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))')"
+    p = "st_geomFromWKT('POINT(15 5)')"
+    assert _sql1(spark, f"st_asText(st_closestPoint({a}, {p}))") == "POINT (10 5)"
+    line = "st_geomFromWKT('LINESTRING(0 0, 10 0)')"
+    assert _sql1(
+        spark, f"st_asText(st_closestPoint({line}, st_geomFromWKT('POINT(3 4)')))"
+    ) == "POINT (3 0)"
+
+
+def test_make_line_polygon(spark):
+    wkt = _sql1(
+        spark,
+        "st_asText(st_makeLine(array(st_makePoint(0, 0), st_makePoint(1, 1), "
+        "st_makePoint(2, 0))))",
+    )
+    assert wkt == "LINESTRING (0 0, 1 1, 2 0)"
+    area = _sql1(
+        spark,
+        "st_area(st_makePolygon(st_geomFromWKT('LINESTRING(0 0, 4 0, 4 4, 0 4, 0 0)')))",
+    )
+    assert area == pytest.approx(16.0)
+    assert _sql1(
+        spark,
+        "st_polygon(st_geomFromWKT('LINESTRING(0 0, 4 0, 4 4)'))",  # not closed
+    ) is None
+
+
+def test_ring_accessors(spark):
+    closed = "st_geomFromWKT('LINESTRING(0 0, 4 0, 4 4, 0 4, 0 0)')"
+    open_ = "st_geomFromWKT('LINESTRING(0 0, 4 0, 4 4)')"
+    bowtie = "st_geomFromWKT('LINESTRING(0 0, 10 10, 10 0, 0 10, 0 0)')"
+    assert _sql1(spark, f"st_isClosed({closed})") is True
+    assert _sql1(spark, f"st_isClosed({open_})") is False
+    assert _sql1(spark, f"st_isRing({closed})") is True
+    assert _sql1(spark, f"st_isRing({bowtie})") is False
+    assert _sql1(spark, f"st_isSimple({open_})") is True
+    assert _sql1(spark, f"st_isSimple({bowtie})") is False
+    ring = _sql1(
+        spark,
+        "st_asText(st_interiorRingN(st_geomFromWKT("
+        "'POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))'), 1))",
+    )
+    assert ring == "LINESTRING (2 2, 3 2, 3 3, 2 3, 2 2)"
+
+
+def test_antimeridian_polygon_split(spark):
+    """A shell written 170..190 must split into a MultiPolygon at the
+    dateline (not wrap into a ring the wrong way around the globe)."""
+    wkt = _sql1(
+        spark,
+        "st_asText(st_antimeridianSafeGeom(st_geomFromWKT("
+        "'POLYGON((170 10, 190 10, 190 20, 170 20, 170 10))')))",
+    )
+    assert wkt.startswith("MULTIPOLYGON")
+    area = _sql1(
+        spark,
+        "st_area(st_antimeridianSafeGeom(st_geomFromWKT("
+        "'POLYGON((170 10, 190 10, 190 20, 170 20, 170 10))')))",
+    )
+    assert area == pytest.approx(200.0)
