@@ -51,6 +51,158 @@ def _guarantee_planar(radius: int, res: int) -> float:
     return max(radius - 1, 0) * min(dlon_deg, dlat_deg)
 
 
+def knn_join_table(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    point_id: str = "image_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    query_id: str = "query_id",
+    qlon: str = "qlon",
+    qlat: str = "qlat",
+    metric: str = "haversine",
+    res: int = 8,
+    radius: int = 2,
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Table-to-table kNN: top-k nearest points per QUERY ROW of a DataFrame
+    — the scale path when Q is too large for the client-driven
+    :func:`knn_join` (reference analog: KNearestNeighborSearchProcess run
+    per-feature, :222-301, re-expressed as set-at-a-time joins).
+
+    Fully distributed — no per-query driver work and no LocalTableScan:
+    each round explodes unresolved queries to their (2R+1)^2 cell disk with
+    a NATIVE sequence/explode + morton-interleave expression, equi-joins the
+    (once-encoded) point table on the cell key, takes the per-query window
+    top-k, and keeps queries whose kth distance is within the provable
+    guarantee radius (same termination contract as knn_join). Unresolved
+    queries re-enter with doubled radius; the driver only ever sees a
+    resolved/unresolved COUNT, never rows. Returns
+    (query_id, point_id, dist, rnk).
+    """
+    from .spatial_join import add_cell_column
+
+    n = 1 << res
+    spark = points.sparkSession
+    pts = add_cell_column(points, res, lon, lat, out="__cell").persist()
+
+    qx, qy = cells.xy_sql_expr(qlon, qlat, res)
+    q = queries.select(
+        F.col(query_id), F.col(qlon), F.col(qlat),
+        F.expr(qx).alias("__qx"), F.expr(qy).alias("__qy"),
+    )
+
+    if metric == "haversine":
+        dist_expr = (
+            f"2 * 6371008.8 * asin(sqrt("
+            f"pow(sin(radians(({lat}) - ({qlat})) / 2), 2) + "
+            f"cos(radians({qlat})) * cos(radians({lat})) * "
+            f"pow(sin(radians(({lon}) - ({qlon})) / 2), 2)))"
+        )
+    elif metric == "planar":
+        dist_expr = (
+            f"sqrt((({lon}) - ({qlon})) * (({lon}) - ({qlon})) + "
+            f"(({lat}) - ({qlat})) * (({lat}) - ({qlat})))"
+        )
+    else:
+        raise ValueError(metric)
+
+    dlon_deg, dlat_deg = cells.cell_size_deg(res)
+    results = None
+    unresolved = q
+    r = radius
+    for round_no in range(max_rounds):
+        covers_world = 2 * r + 1 >= n
+        if covers_world:
+            cand = pts.crossJoin(unresolved)
+        else:
+            # native disk expansion: (2R+1)^2 neighbor cells per query via
+            # sequence/explode + the same morton spread the encoder uses
+            nq = (
+                unresolved
+                .withColumn("__dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+                .withColumn("__dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+                .withColumn("__nx", F.pmod(F.col("__qx") + F.col("__dx"), F.lit(n)))
+                .withColumn("__ny", F.col("__qy") + F.col("__dy"))
+                .filter((F.col("__ny") >= 0) & (F.col("__ny") < n))
+            )
+            sx = cells._spread_sql("__nx")
+            sy = cells._spread_sql("__ny")
+            nq = nq.withColumn(
+                "__jcell", F.expr(f"({sx}) | (({sy}) * 2)")
+            ).drop("__dx", "__dy", "__nx", "__ny")
+            cand = pts.join(nq, pts["__cell"] == nq["__jcell"], "inner")
+
+        cand = cand.withColumn("__dist", F.expr(dist_expr)).filter(
+            F.col(point_id) != F.col(query_id)
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("__dist").asc(), F.col(point_id).asc()
+        )
+        topk = (
+            cand.withColumn("__rnk", F.row_number().over(w))
+            .filter(F.col("__rnk") <= k)
+            .select(
+                query_id, point_id, F.col(qlat).alias("__ql"),
+                F.col("__dist").alias("dist"), F.col("__rnk").alias("rnk"),
+            )
+        )
+        if covers_world:
+            got = topk.drop("__ql")
+            results = got if results is None else results.unionByName(got)
+            unresolved = unresolved.limit(0)
+            break
+        # provable-guarantee filter, fully native (same bound as knn_join):
+        # minimum distance to anything outside Chebyshev radius r
+        per_q = topk.groupBy(query_id).agg(
+            F.max("rnk").alias("__n"), F.max("dist").alias("__dk"),
+            F.first("__ql").alias("__qlv"),
+        )
+        if metric == "haversine":
+            guarantee = F.greatest(
+                F.least(
+                    F.lit(max(r - 1, 0) * dlat_deg * M_PER_DEG),
+                    F.lit(max(r - 1, 0) * dlon_deg * M_PER_DEG)
+                    * F.greatest(
+                        F.cos(
+                            F.radians(
+                                F.least(
+                                    F.abs(F.col("__qlv"))
+                                    + F.lit((r + 1) * dlat_deg),
+                                    F.lit(90.0),
+                                )
+                            )
+                        ),
+                        F.lit(0.0),
+                    ),
+                ),
+                F.lit(0.0),
+            )
+        else:
+            guarantee = F.lit(_guarantee_planar(r, res))
+        per_q = per_q.withColumn(
+            "__ok", (F.col("__n") >= k) & (F.col("__dk") <= guarantee)
+        )
+        ok_ids = per_q.filter(F.col("__ok")).select(query_id)
+        got = topk.join(F.broadcast(ok_ids), query_id, "left_semi").drop("__ql")
+        results = got if results is None else results.unionByName(got)
+        remaining = unresolved.join(F.broadcast(ok_ids), query_id, "left_anti")
+        # materialize the shrinking query set; driver sees only the count
+        remaining = remaining.persist()
+        n_left = remaining.count()
+        unresolved.unpersist() if hasattr(unresolved, "unpersist") else None
+        unresolved = remaining
+        if n_left == 0:
+            break
+        r *= 2
+    else:
+        pts.unpersist()
+        raise RuntimeError("knn_join_table did not resolve within max_rounds")
+    pts.unpersist()
+    return results
+
+
 def knn_join(
     points: DataFrame,
     queries_pdf: pd.DataFrame,

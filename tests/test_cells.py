@@ -171,3 +171,55 @@ def test_time_bin_sql():
         f"SELECT {expr} AS b FROM (SELECT TIMESTAMP '1970-01-09 00:00:00' AS ts)"
     ).fetchone()[0]
     assert got == 1
+
+
+class TestKnnJoinTable:
+    """Table-scale kNN (knn_join_table): parity vs brute force, fully
+    distributed plan (no LocalTableScan — reference process is client-driven,
+    the table path must not be)."""
+
+    def test_parity_and_plan(self, spark, tmp_path):
+        import io
+        from contextlib import redirect_stdout
+
+        import numpy as np
+        import pandas as pd
+
+        from geomesa_spark.operators.knn import knn_join_table
+        from geomesa_spark.sources import images as src
+
+        n, nq, k = 4000, 500, 5
+        pts_pdf = src.generate_batch(np.arange(n))[["image_id", "lon", "lat"]]
+        qlon, qlat = src.lonlat_of(np.arange(10_000, 10_000 + nq))
+        qpdf = pd.DataFrame(
+            {"query_id": [f"q{i}" for i in range(nq)], "qlon": qlon, "qlat": qlat}
+        )
+        # parquet inputs: the plan must then contain NO LocalTableScan at all
+        # (the client-driven knn_join would re-parallelize driver results)
+        ppath, qpath = str(tmp_path / "pts"), str(tmp_path / "qs")
+        spark.createDataFrame(pts_pdf).write.parquet(ppath)
+        spark.createDataFrame(qpdf).write.parquet(qpath)
+        pts = spark.read.parquet(ppath)
+        queries = spark.read.parquet(qpath)
+        out = knn_join_table(
+            pts, queries, k=k, point_id="image_id", metric="planar", res=6
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("extended")
+        assert "LocalTableScan" not in buf.getvalue()
+        got = {
+            (r.query_id, r.image_id, r.rnk) for r in out.collect()
+        }
+        # brute-force oracle
+        px = pts_pdf["lon"].to_numpy()[None, :]
+        py = pts_pdf["lat"].to_numpy()[None, :]
+        d = np.hypot(px - qpdf["qlon"].to_numpy()[:, None],
+                     py - qpdf["qlat"].to_numpy()[:, None])
+        ids = pts_pdf["image_id"].to_numpy()
+        expect = set()
+        for i in range(nq):
+            order = np.lexsort((ids, d[i]))[:k]
+            for rnk, j in enumerate(order, 1):
+                expect.add((f"q{i}", ids[j], rnk))
+        assert got == expect
