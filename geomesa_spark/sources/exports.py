@@ -162,3 +162,201 @@ def export_arrow_ipc(df: DataFrame, path: str) -> int:
 
     manifest = df.mapInArrow(write_part, schema="rows long, file string").collect()
     return sum(1 for r in manifest if r.file)
+
+
+# ---------------------------------------------------------------------------
+# Shapefile export (ExportFormat.scala:50-86 'shp'; ESRI shapefile spec,
+# public). Point geometries + DBF attribute table, written from scratch.
+# Shapefiles are a single-file format, so rows stream through the driver via
+# toLocalIterator — same shape as the reference's client-side export stream;
+# bounded exports only (the big-data sink is parquet/orc/arrow).
+# ---------------------------------------------------------------------------
+
+def export_shapefile(
+    df: DataFrame,
+    path_base: str,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> int:
+    """Write ``path_base``.shp/.shx/.dbf with one point per row and every
+    other column as a DBF attribute (strings -> C(64), numbers -> N(18,6)).
+    Returns the number of records."""
+    import struct
+
+    attr_cols = [c for c, t in df.dtypes if c not in (lon, lat)]
+    types = dict(df.dtypes)
+    rows = list(df.select(lon, lat, *attr_cols).toLocalIterator())
+    n = len(rows)
+
+    # --- .shp / .shx -------------------------------------------------------
+    # record: header(8) + shape type(4) + x(8) + y(8) = 28 bytes
+    rec_words = 10  # (28 - 8) / 2 + 4/2... content = 20 bytes = 10 words
+    shp_len_words = 50 + n * (4 + 10)
+    shx_len_words = 50 + n * 4
+    xs = [float(r[0]) for r in rows] or [0.0]
+    ys = [float(r[1]) for r in rows] or [0.0]
+    bbox = (min(xs), min(ys), max(xs), max(ys))
+
+    def header(length_words: int) -> bytes:
+        h = struct.pack(">i20x i", 9994, length_words)
+        h += struct.pack("<ii", 1000, 1)  # version, shape type = Point
+        h += struct.pack("<4d", *bbox) + struct.pack("<4d", 0, 0, 0, 0)
+        return h
+
+    with open(path_base + ".shp", "wb") as shp, open(path_base + ".shx", "wb") as shx:
+        shp.write(header(shp_len_words))
+        shx.write(header(shx_len_words))
+        offset = 50
+        for i, r in enumerate(rows):
+            content = struct.pack("<i2d", 1, float(r[0]), float(r[1]))
+            shp.write(struct.pack(">ii", i + 1, rec_words) + content)
+            shx.write(struct.pack(">ii", offset, rec_words))
+            offset += 4 + rec_words
+
+    # --- .dbf --------------------------------------------------------------
+    numeric = {"int", "bigint", "double", "float", "smallint", "tinyint"}
+    fields = []
+    for c in attr_cols:
+        if types[c] in numeric:
+            fields.append((c[:10], b"N", 18, 6))
+        else:
+            fields.append((c[:10], b"C", 64, 0))
+    rec_len = 1 + sum(f[2] for f in fields)
+    with open(path_base + ".dbf", "wb") as dbf:
+        hdr_len = 32 + 32 * len(fields) + 1
+        dbf.write(struct.pack("<B3BIHH20x", 3, 24, 1, 1, n, hdr_len, rec_len))
+        for name, ftype, flen, fdec in fields:
+            dbf.write(
+                struct.pack("<11s c 4x BB 14x", name.encode().ljust(11, b"\0"),
+                            ftype, flen, fdec)
+            )
+        dbf.write(b"\x0d")
+        for r in rows:
+            dbf.write(b" ")
+            for (name, ftype, flen, fdec), v in zip(fields, r[2:]):
+                if v is None:
+                    dbf.write(b" " * flen)
+                elif ftype == b"N":
+                    dbf.write(f"{float(v):{flen}.{fdec}f}".encode()[:flen].rjust(flen))
+                else:
+                    dbf.write(str(v).encode("utf-8")[:flen].ljust(flen))
+        dbf.write(b"\x1a")
+    return n
+
+
+def read_shapefile_points(path_base: str):
+    """Minimal reader for round-trip tests: -> list of (x, y)."""
+    import struct
+
+    with open(path_base + ".shp", "rb") as fh:
+        data = fh.read()
+    (length_words,) = struct.unpack_from(">i", data, 24)
+    pos, out = 100, []
+    while pos < length_words * 2:
+        _, words = struct.unpack_from(">ii", data, pos)
+        shape, x, y = struct.unpack_from("<i2d", data, pos + 8)
+        assert shape == 1
+        out.append((x, y))
+        pos += 8 + words * 2
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GML export (ExportFormat 'gml'/'xml'): one gml:featureMember per row,
+# built as a native SQL string expression and written distributed as text
+# part-files (the reference streams a single document; part-files are the
+# cluster-native equivalent, concatenable with a header/footer).
+# ---------------------------------------------------------------------------
+
+GML_HEADER = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs" '
+    'xmlns:gml="http://www.opengis.net/gml">\n'
+)
+GML_FOOTER = "</wfs:FeatureCollection>\n"
+
+
+def gml_feature_expr(
+    feature_type: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    attrs: list[str] | None = None,
+) -> str:
+    """SQL expression producing one <gml:featureMember> XML string per row
+    (pure concat under codegen — no UDF)."""
+    attr_xml = "".join(
+        f"||'<{a}>'||cast({a} as string)||'</{a}>'" for a in (attrs or [])
+    )
+    return (
+        f"'<gml:featureMember><{feature_type}>'"
+        f"||'<geom><gml:Point><gml:coordinates>'"
+        f"||cast({lon} as string)||','||cast({lat} as string)"
+        f"||'</gml:coordinates></gml:Point></geom>'"
+        f"{attr_xml}"
+        f"||'</{feature_type}></gml:featureMember>'"
+    )
+
+
+def export_gml(
+    df: DataFrame,
+    path: str,
+    feature_type: str = "feature",
+    lon: str = "lon",
+    lat: str = "lat",
+    attrs: list[str] | None = None,
+) -> None:
+    from pyspark.sql import functions as F
+
+    df.select(
+        F.expr(gml_feature_expr(feature_type, lon, lat, attrs)).alias("value")
+    ).write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------------------
+# Leaflet export (ExportFormat 'leaflet'): self-contained HTML preview map
+# embedding the rows as GeoJSON — the reference's leaflet export is likewise
+# a bounded client-side preview (LeafletMapExporter).
+# ---------------------------------------------------------------------------
+
+_LEAFLET_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"/><title>{title}</title>
+<link rel="stylesheet" href="https://unpkg.com/leaflet/dist/leaflet.css"/>
+<script src="https://unpkg.com/leaflet/dist/leaflet.js"></script>
+<style>#map {{ height: 100vh; }}</style></head>
+<body><div id="map"></div><script>
+var data = {geojson};
+var map = L.map('map');
+L.tileLayer('https://tile.openstreetmap.org/{{z}}/{{x}}/{{y}}.png').addTo(map);
+var layer = L.geoJSON(data).addTo(map);
+map.fitBounds(layer.getBounds());
+</script></body></html>
+"""
+
+
+def export_leaflet(
+    df: DataFrame,
+    path: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    max_rows: int = 10_000,
+    title: str = "geomesa_spark export",
+) -> int:
+    """Bounded HTML map preview; rows beyond ``max_rows`` are dropped (the
+    reference's exporter is likewise a preview, not a data sink)."""
+    import json
+
+    attr_cols = [c for c, _ in df.dtypes if c not in (lon, lat)]
+    rows = df.select(lon, lat, *attr_cols).limit(max_rows).collect()
+    feats = [
+        {
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [r[0], r[1]]},
+            "properties": {c: (None if r[i + 2] is None else str(r[i + 2]))
+                            for i, c in enumerate(attr_cols)},
+        }
+        for r in rows
+    ]
+    gj = {"type": "FeatureCollection", "features": feats}
+    with open(path, "w") as fh:
+        fh.write(_LEAFLET_TEMPLATE.format(title=title, geojson=json.dumps(gj)))
+    return len(feats)

@@ -101,3 +101,134 @@ def test_aggregate_distance_sphere(spark):
         """
     ).collect()[0].d
     assert abs(d - 2 * 343_500) < 6_000
+
+
+class TestRound2Converters:
+    """Avro / fixed-width / XML converters + shp / GML / leaflet exports
+    (geomesa-convert-* and ExportFormat.scala parity), all round-tripped."""
+
+    def test_avro_roundtrip(self, spark, tmp_path):
+        from geomesa_spark.sources.ingest import (
+            ingest_avro,
+            read_avro_file,
+            write_avro_file,
+        )
+
+        names = ["id", "name", "score", "flag"]
+        types = ["long", "string", "double", "boolean"]
+        rows = [[i, f"n{i}", i * 1.5, i % 2 == 0] for i in range(257)]
+        d = tmp_path / "avro"
+        d.mkdir()
+        blob = write_avro_file(names, types, rows)
+        (d / "part-0.avro").write_bytes(blob)
+        # reader round-trip (pure python)
+        rn, rr = read_avro_file(blob)
+        assert rn == names and len(rr) == 257 and rr[3] == [3, "n3", 4.5, False]
+        # distributed ingest
+        out = ingest_avro(spark, str(d)).orderBy("id").collect()
+        assert len(out) == 257
+        assert out[5].name == "n5" and out[5].score == 7.5 and out[6].flag is True
+
+    def test_avro_nullable_union_and_deflate(self, spark, tmp_path):
+        import json
+        import struct
+        import zlib
+
+        from geomesa_spark.sources.ingest import read_avro_file
+
+        # hand-build an OCF with ["null","long"] union + deflate codec
+        def zz(v):
+            acc = (v << 1) ^ (v >> 63)
+            out = bytearray()
+            while True:
+                b = acc & 0x7F
+                acc >>= 7
+                if acc:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+            return bytes(out)
+
+        schema = json.dumps(
+            {"type": "record", "name": "r",
+             "fields": [{"name": "v", "type": ["null", "long"]}]}
+        ).encode()
+        head = b"Obj\x01" + zz(2)
+        for k, v in ((b"avro.schema", schema), (b"avro.codec", b"deflate")):
+            head += zz(len(k)) + k + zz(len(v)) + v
+        head += zz(0)
+        sync = b"fedcba9876543210"
+        body = zz(1) + zz(7) + zz(0)  # [long 7, null]
+        comp = zlib.compress(body)[2:-4]  # raw deflate
+        blob = head + sync + zz(2) + zz(len(comp)) + comp + sync
+        names, rows = read_avro_file(blob)
+        assert names == ["v"] and rows == [[7], [None]]
+
+    def test_fixed_width(self, spark, tmp_path):
+        from geomesa_spark.sources.ingest import ingest_fixed_width
+
+        p = tmp_path / "fw.txt"
+        p.write_text("001alpha  12.5\n002beta   -3.0\n")
+        out = ingest_fixed_width(
+            spark, str(p),
+            {"id": (1, 3, "int"), "name": (4, 7, "string"), "v": (11, 5, "double")},
+        ).orderBy("id").collect()
+        assert [(r.id, r.name, r.v) for r in out] == [
+            (1, "alpha", 12.5), (2, "beta", -3.0)
+        ]
+
+    def test_xml(self, spark, tmp_path):
+        from geomesa_spark.sources.ingest import ingest_xml
+
+        p = tmp_path / "data.xml"
+        p.write_text(
+            "<root><rec id='a'><name>x</name><pos><lon>1.5</lon></pos></rec>"
+            "<rec id='b'><name>y</name><pos><lon>2.5</lon></pos></rec></root>"
+        )
+        out = ingest_xml(
+            spark, str(p), "rec",
+            {"rid": "@id", "name": "name", "lon": "pos/lon"},
+            spec={"rid": "rid", "name": "name", "lon": "cast(lon as double)"},
+        ).orderBy("rid").collect()
+        assert [(r.rid, r.name, r.lon) for r in out] == [
+            ("a", "x", 1.5), ("b", "y", 2.5)
+        ]
+
+    def test_shapefile_roundtrip(self, spark, tmp_path):
+        from geomesa_spark.sources.exports import (
+            export_shapefile,
+            read_shapefile_points,
+        )
+
+        pdf_rows = [(i * 1.0, i * -0.5, f"f{i}", i * 2.0) for i in range(10)]
+        df = spark.createDataFrame(pdf_rows, "lon double, lat double, name string, v double")
+        base = str(tmp_path / "out")
+        n = export_shapefile(df, base)
+        assert n == 10
+        pts = read_shapefile_points(base)
+        assert pts == [(i * 1.0, i * -0.5) for i in range(10)]
+        import os
+
+        assert os.path.getsize(base + ".dbf") > 32
+
+    def test_gml_and_leaflet(self, spark, tmp_path):
+        from geomesa_spark.sources.exports import export_gml, export_leaflet
+
+        df = spark.createDataFrame(
+            [(1.0, 2.0, "a"), (3.0, 4.0, "b")], "lon double, lat double, name string"
+        )
+        gdir = str(tmp_path / "gml")
+        export_gml(df, gdir, feature_type="evt", attrs=["name"])
+        import glob
+
+        text = "".join(open(f).read() for f in glob.glob(gdir + "/part-*"))
+        assert text.count("<gml:featureMember>") == 2
+        assert "<gml:coordinates>1.0,2.0</gml:coordinates>" in text
+        assert "<name>a</name>" in text
+
+        html = tmp_path / "map.html"
+        n = export_leaflet(df, str(html))
+        assert n == 2
+        content = html.read_text()
+        assert "L.geoJSON" in content and '"coordinates": [1.0, 2.0]' in content
