@@ -89,9 +89,10 @@ def run_flagship(spark, n_images: int, reps: int = 2) -> dict:
 
     path = ensure_images_parquet(spark, n_images)
     n_in = spark.read.parquet(path).count()
-    # best-of-reps after the first (warmup) execution: hypervisor steal on
-    # this VM varies run to run, and peak throughput per level is the fair
-    # basis for the scaling ratio
+    # MEDIAN of the post-warmup reps: the first execution at a new scale pays
+    # one-time JVM/Arrow costs a long-lived session amortizes; median (not
+    # min) is the same protocol the mp.Pool hardware control uses, so the
+    # scaling ratio and the control are comparable measurements
     times = []
     for _ in range(max(reps, 1)):
         t0 = time.time()
@@ -101,7 +102,8 @@ def run_flagship(spark, n_images: int, reps: int = 2) -> dict:
         )
         _noop_write(agg)
         times.append(time.time() - t0)
-    dt = min(times[1:]) if len(times) > 1 else times[0]
+    post = times[1:] if len(times) > 1 else times
+    dt = sorted(post)[len(post) // 2]
     # join cardinality via the slim DataFrame-native path (column-pruned scan)
     slim = scan_parquet_arrow(spark, path, columns=["image_id", "lon", "lat"])
     n_join = spatial_join(slim, FLAGSHIP_POLYS).count()
@@ -223,14 +225,16 @@ def run_mp_control(path: str, procs: int) -> float:
     from geomesa_spark.sources.parquet_scan import list_row_groups
 
     splits = [(f, rg) for f, rg, _ in list_row_groups(path)]
-    with mp.Pool(procs) as pool:  # warmup: imports in workers
-        pool.map(_mp_control_worker, splits[:procs])
+    with mp.Pool(procs) as pool:
+        # SAME protocol as the engine measurement: one full warmup pass,
+        # then median of 3 timed passes
+        pool.map(_mp_control_worker, splits)
         times = []
         for _ in range(3):
             t0 = time.time()
             pool.map(_mp_control_worker, splits)
             times.append(time.time() - t0)
-        return min(times)
+        return sorted(times)[1]
 
 
 def run_scaling(n_images: int = 1_200_000) -> dict:
@@ -279,24 +283,28 @@ def run_scaling(n_images: int = 1_200_000) -> dict:
             "real cluster); fresh JVM per level, steady-state rep measured (first\n"
             "full-scale execution pays one-time JVM/Arrow warmup a long-lived\n"
             "cluster session amortizes).\n\n"
+            "Measurement protocol (identical for the engine and the control):\n"
+            "one full warmup pass, then the MEDIAN of the timed passes.\n\n"
             f"| parallelism | images | rows/sec |\n|---|---|---|\n"
             f"| local[8]  | {n_images} | {report['local8_rows_per_sec']} |\n"
             f"| local[32] | {n_images} | {report['local32_rows_per_sec']} |\n\n"
             f"- speedup 8->32 cores: **{report['speedup']}x** (ideal 4x)\n"
-            f"- raw scaling efficiency: **{report['scaling_efficiency']}**\n\n"
-            "## Hardware ceiling control\n\n"
+            f"- **HEADLINE: raw scaling efficiency {report['scaling_efficiency']}**"
+            f" (north-rule target >= 0.8 judged on this raw number)\n\n"
+            "## Hardware ceiling control (diagnostic only)\n\n"
             "The identical kernel (same `process_density_split` function, same\n"
-            "splits) run with a bare `multiprocessing.Pool` — no Spark at all —\n"
-            "measures what this single-socket VM gives 8 vs 32 busy cores\n"
-            "(turbo clocking + hypervisor steal shrink per-core throughput when\n"
-            "all cores are loaded; a real 4N-executor cluster adds machines at\n"
-            "constant clocks instead):\n\n"
+            "splits) run with a bare `multiprocessing.Pool` — no Spark at all,\n"
+            "same warmup + median-of-3 protocol — measures what this\n"
+            "single-socket VM gives 8 vs 32 busy cores (turbo clocking +\n"
+            "hypervisor steal shrink per-core throughput when all cores are\n"
+            "loaded; a real 4N-executor cluster adds machines at constant\n"
+            "clocks instead):\n\n"
             f"- control mp.Pool(8): {report['control_mp8_sec']} s\n"
             f"- control mp.Pool(32): {report['control_mp32_sec']} s\n"
             f"- hardware ceiling efficiency: **{report['hardware_ceiling_efficiency']}**\n"
             f"- engine efficiency / hardware ceiling: "
-            f"**{report['normalized_efficiency']}** (>= 0.8 target met when the\n"
-            "engine tracks the hardware's own ceiling)\n"
+            f"{report['normalized_efficiency']} (diagnostic context for the raw\n"
+            "number, not part of the target claim)\n"
         )
     print(json.dumps(report))
     return report

@@ -196,3 +196,53 @@ def start_live_query(
         .queryName(query_name)
         .start()
     )
+
+
+def read_feature_stream(
+    spark,
+    source: str,
+    schema: str,
+    kafka_bootstrap: str | None = None,
+    topic: str | None = None,
+    starting_offsets: str = "earliest",
+    **options,
+):
+    """Stream source factory — the ``KafkaFeatureCache`` ingestion path.
+
+    ``source='kafka'``: ``readStream.format('kafka')`` with the reference's
+    topic/offset options; the value payload is parsed as JSON against
+    ``schema`` (GeoMessage-envelope analog). This sandbox ships no Kafka
+    broker OR spark-sql-kafka jar, so the path raises a clear error if the
+    connector is absent — the options surface and the downstream plan
+    (live_view / foreach_batch_upsert) are identical either way and are
+    exercised through the file source in tests.
+
+    ``source='files'``: ``readStream.format('json')`` over a directory —
+    the sandbox substitution (one file = one micro-batch of messages).
+    """
+    if source == "kafka":
+        if not (kafka_bootstrap and topic):
+            raise ValueError("kafka source needs kafka_bootstrap and topic")
+        try:
+            raw = (
+                spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", kafka_bootstrap)
+                .option("subscribe", topic)
+                .option("startingOffsets", starting_offsets)
+                .options(**options)
+                .load()
+            )
+        except Exception as e:  # pragma: no cover - no kafka jar in sandbox
+            raise RuntimeError(
+                "Kafka source requires the spark-sql-kafka connector "
+                "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13) and "
+                "a reachable broker; neither exists in this sandbox. Use "
+                "source='files' for the file-backed substitution."
+            ) from e
+        return raw.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("__m")
+        ).select("__m.*")
+    if source == "files":
+        path = options.pop("path")
+        return spark.readStream.schema(schema).options(**options).json(path)
+    raise ValueError(f"unknown stream source {source!r}")

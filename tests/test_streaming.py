@@ -210,3 +210,46 @@ def test_stateful_live_view_emits_only_changes(spark, tmp_path):
         assert lons == [("a", 1.0), ("b", 5.0), ("b", 6.0)]
     finally:
         q.stop()
+
+
+def test_read_feature_stream_files_and_kafka_guard(spark, tmp_path):
+    """read_feature_stream: file substitution streams messages through the
+    live view; the kafka path surfaces the reference's options and fails
+    with an actionable error when the connector/broker are absent."""
+    import json
+
+    import pytest
+
+    from geomesa_spark.streaming.live_view import read_feature_stream
+
+    d = tmp_path / "msgs"
+    d.mkdir()
+    (d / "b0.json").write_text(
+        "\n".join(
+            json.dumps(m)
+            for m in [
+                {"fid": "a", "v": 1, "ts": 100},
+                {"fid": "a", "v": 2, "ts": 200},
+                {"fid": "b", "v": 9, "ts": 150},
+            ]
+        )
+    )
+    stream = read_feature_stream(
+        spark, "files", "fid string, v long, ts long", path=str(d)
+    )
+    assert stream.isStreaming
+    from geomesa_spark.streaming.live_view import start_live_query
+
+    q = start_live_query(stream, "fid", "ts", "rfs_view")
+    try:
+        q.processAllAvailable()
+        rows = {r.fid: r.v for r in spark.sql("select * from rfs_view").collect()}
+        assert rows == {"a": 2, "b": 9}
+    finally:
+        q.stop()
+
+    with pytest.raises((RuntimeError, Exception)) as ei:
+        read_feature_stream(
+            spark, "kafka", "fid string", kafka_bootstrap="host:9092", topic="t"
+        )
+    assert "kafka" in str(ei.value).lower()
