@@ -217,6 +217,36 @@ FROM pts GROUP BY 1, 2
 """
 
 
+Z3_NBITS = 6  # coarse 3D cells for the density surface
+
+
+def q_geo_z3_cells(spark, sf_dir):
+    """TRUE Z3 key density (Z3SFC.scala:22-47 parity): (epoch-week bin,
+    3-way lon/lat/time-offset interleave) counts, built through the staged
+    native expressions (zero Python)."""
+    pts = _points(spark, sf_dir).withColumn(
+        "ts_s", F.col("ts").cast("timestamp").cast("long")
+    )
+    for name, sql in cells.z3_stage_exprs("lon", "lat", "ts_s", Z3_NBITS):
+        pts = pts.withColumn(name, F.expr(sql))
+    ebin, _ = cells.z3_sql_expr("lon", "lat", "ts_s", Z3_NBITS)
+    return (
+        pts.select(F.expr(ebin).alias("week_bin"), "z3")
+        .groupBy("week_bin", "z3")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _oracle_geo_z3_cells():
+    ebin, z3 = cells.z3_sql_expr("lon", "lat", "ts_s", Z3_NBITS)
+    return f"""
+WITH pts AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                    {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events)
+SELECT {ebin} AS week_bin, {z3} AS z3, CAST(count(*) AS BIGINT) AS n
+FROM pts GROUP BY 1, 2
+"""
+
+
 KNN_K = 5
 KNN_NQ = 12
 
@@ -932,7 +962,28 @@ FROM r WHERE rnk <= {ANN_K}
 NEARDUP_TAU = 0.35  # synthetic embeddings: ~99.9th pctile of pair cosine
 
 
+NEARDUP_PLANES = 6
+NEARDUP_TABLES = 8
+
+
 def q_embed_neardup(spark, sf_dir):
+    """Embedding near-dup pairs through the LSH SCALE PATH (not the exact
+    cross join): multi-table sign-plane buckets -> candidate pairs -> exact
+    cosine refine. The oracle replays the identical bucket pipeline, so the
+    driver verifies the approximate operator itself."""
+    from .operators.similarity import embedding_neardup_pairs
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, NEARDUP_TAU, dim=64, n_planes=NEARDUP_PLANES,
+        n_tables=NEARDUP_TABLES, exact=False,
+    ).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "sim"
+    )
+
+
+def q_embed_neardup_exact(spark, sf_dir):
+    """The exact O(N^2) all-pairs baseline the LSH path approximates."""
     from .operators.similarity import embedding_neardup_pairs
 
     (emb,) = _load(spark, sf_dir, "embeddings")
@@ -941,6 +992,28 @@ def q_embed_neardup(spark, sf_dir):
     ).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), "sim"
     )
+
+
+def _oracle_embed_neardup_lsh():
+    """Replays the LSH near-dup pipeline: regenerated sign planes -> per-table
+    buckets -> distinct candidate pairs -> exact cosine refine at the
+    threshold."""
+    dot = (
+        "list_sum(list_transform(list_zip(ea.embedding, eb.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    norm = "sqrt(list_sum(list_transform({c}, x -> CAST(x AS DOUBLE) * x)))"
+    na, nb = norm.format(c="ea.embedding"), norm.format(c="eb.embedding")
+    return f"""
+WITH {_lsh_bucket_ctes(NEARDUP_TABLES, NEARDUP_PLANES)},
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bk a JOIN bk b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+rs AS (SELECT cand.id_a, cand.id_b, round({dot} / ({na} * {nb}), 6) AS sim
+       FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+       JOIN embeddings eb ON eb.vec_id = cand.id_b)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, sim
+FROM rs WHERE sim >= {NEARDUP_TAU}
+"""
 
 
 def _oracle_embed_neardup():
@@ -1123,10 +1196,10 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
-def _oracle_ann_lsh():
-    """DuckDB regenerates the deterministic ±1 hyperplanes (bit 0 of
-    splitmix64(t*2^20 + j*2^10 + d)), buckets both sides, and replays the
-    bucket-join + exact rerank — verifying the LSH path itself."""
+def _lsh_bucket_ctes(n_tables: int, n_planes: int) -> str:
+    """CTE chain reproducing similarity.sign_planes + hyperplane buckets in
+    SQL: ... -> bk(vec_id, t, b). Shared by the ann_lsh and embed_neardup
+    oracles."""
     c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
     m = 1 << 64
 
@@ -1136,11 +1209,10 @@ def _oracle_ann_lsh():
             f"(((CAST({x} AS HUGEINT) // 4294967296) * {c}) % 4294967296) * 4294967296) % {m})"
         )
 
-    return f"""
-WITH seeds AS (
+    return f"""seeds AS (
   SELECT t, j, d, CAST(t * 1048576 + j * 1024 + d AS BIGINT) AS seed
-  FROM (SELECT unnest(range({LSH_TABLES})) AS t) tt,
-       (SELECT unnest(range({LSH_PLANES})) AS j) jj,
+  FROM (SELECT unnest(range({n_tables})) AS t) tt,
+       (SELECT unnest(range({n_planes})) AS j) jj,
        (SELECT unnest(range(64)) AS d) dd),
 m1 AS (SELECT t, j, d, CAST((CAST(seed AS HUGEINT) + {c1}) % {m} AS UBIGINT) AS x FROM seeds),
 m2 AS (SELECT t, j, d, CAST({mulmod('xor(x, x >> 30)', c2)} AS UBIGINT) AS x FROM m1),
@@ -1155,7 +1227,15 @@ dots AS (SELECT ev.vec_id, pl.t, pl.j, sum(ev.val * pl.s) AS dp
 bk AS (SELECT vec_id, t,
               sum(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
                        ELSE 0 END) AS b
-       FROM dots GROUP BY 1, 2),
+       FROM dots GROUP BY 1, 2)"""
+
+
+def _oracle_ann_lsh():
+    """DuckDB regenerates the deterministic ±1 hyperplanes (bit 0 of
+    splitmix64(t*2^20 + j*2^10 + d)), buckets both sides, and replays the
+    bucket-join + exact rerank — verifying the LSH path itself."""
+    return f"""
+WITH {_lsh_bucket_ctes(LSH_TABLES, LSH_PLANES)},
 qb AS (SELECT vec_id AS qid, t, b FROM bk WHERE vec_id < {ANN_NQ}),
 cand AS (SELECT DISTINCT qb.qid, v.vec_id
          FROM qb JOIN bk v ON v.t = qb.t AND v.b = qb.b
@@ -1462,6 +1542,7 @@ QUERIES = {
     "geo_cell_density": (q_geo_cell_density, _oracle_geo_cell_density()),
     "geo_tile_density": (q_geo_tile_density, _oracle_geo_tile_density()),
     "geo_timebin_cells": (q_geo_timebin_cells, _oracle_geo_timebin_cells()),
+    "geo_z3_cells": (q_geo_z3_cells, _oracle_geo_z3_cells()),
     "geo_knn": (q_geo_knn, _oracle_geo_knn()),
     "geo_knn_sphere": (q_geo_knn_sphere, _oracle_geo_knn_sphere()),
     "geo_track_segments": (q_geo_track_segments, _oracle_geo_track_segments()),
@@ -1487,7 +1568,8 @@ QUERIES = {
     "lang_stats": (q_lang_stats, _oracle_lang_stats()),
     "embed_norms": (q_embed_norms, _oracle_embed_norms()),
     "ann_cosine": (q_ann_cosine, _oracle_ann_cosine()),
-    "embed_neardup": (q_embed_neardup, _oracle_embed_neardup()),
+    "embed_neardup": (q_embed_neardup, _oracle_embed_neardup_lsh()),
+    "embed_neardup_exact": (q_embed_neardup_exact, _oracle_embed_neardup()),
     "geo_geom_join": (q_geo_geom_join, _oracle_geo_geom_join()),
     # rows-only (non-SQL-expressible)
     "geo_convex_hull": (q_geo_convex_hull, _oracle_geo_convex_hull()),

@@ -329,6 +329,138 @@ def parent_sql_expr(cell_col: str, res: int, parent_res: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Z3: true 3-way (lon, lat, time-offset) interleave (Z3SFC.scala:22-47)
+#
+# The reference's spatio-temporal key is [epoch-bin(short)][z3(8B)] where z3
+# interleaves 21-bit lon/lat/time-offset. The engine's default composite
+# (week_bin, z2) prunes equivalently, but the true interleave is provided
+# for full parity: sortable single-long keys whose prefix ranges bound all
+# three dimensions simultaneously.
+# ---------------------------------------------------------------------------
+
+Z3_MAX_BITS = 21  # bits per dimension (Z3SFC.scala:22); 3*21 = 63 bits
+
+# 3-way morton spreading masks (classic public magic numbers)
+_MASKS3 = (
+    (32, 0x1F00000000FFFF),
+    (16, 0x1F0000FF0000FF),
+    (8, 0x100F00F00F00F00F),
+    (4, 0x10C30C30C30C30C3),
+    (2, 0x1249249249249249),
+)
+
+
+def _spread3(v: np.ndarray) -> np.ndarray:
+    """Spread the low 21 bits onto every 3rd bit position (uint64)."""
+    v = v.astype(np.uint64) & np.uint64(0x1FFFFF)
+    for shift, mask in _MASKS3:
+        v = (v | (v << np.uint64(shift))) & np.uint64(mask)
+    return v
+
+
+def _compact3(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x1249249249249249)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x10C30C30C30C30C3)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x100F00F00F00F00F)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x1F0000FF0000FF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x1F00000000FFFF)
+    v = (v | (v >> np.uint64(32))) & np.uint64(0x1FFFFF)
+    return v
+
+
+def z3_encode(lon, lat, ts_s, nbits: int = Z3_MAX_BITS, period: str = "week"):
+    """-> (epoch_bin, z3) int64 arrays: the reference's Z3 key, vectorized.
+
+    ``ts_s``: epoch seconds. The time dimension is the offset WITHIN the
+    period bin normalized to ``nbits`` (BinnedTime.scala:148-155 max-offset
+    analog); lon/lat normalize as in :func:`xy_of`.
+    """
+    if not 1 <= nbits <= Z3_MAX_BITS:
+        raise ValueError(f"nbits must be 1..{Z3_MAX_BITS}")
+    secs = _PERIOD_SECONDS[period]
+    ts_s = np.asarray(ts_s, dtype=np.int64)
+    ebin = ts_s // secs
+    off = (ts_s % secs).astype(np.float64)
+    n = np.int64(1) << np.int64(nbits)
+    x, y = xy_of(lon, lat, nbits)
+    t = np.clip(np.floor(off * n / secs).astype(np.int64), 0, n - 1)
+    z3 = (
+        _spread3(x) | (_spread3(y) << np.uint64(1)) | (_spread3(t) << np.uint64(2))
+    ).astype(np.int64)
+    return ebin.astype(np.int64), z3
+
+
+def z3_decode(z3, nbits: int = Z3_MAX_BITS):
+    """-> (x, y, t) integer grid coordinates."""
+    z = np.asarray(z3, dtype=np.int64).astype(np.uint64)
+    return (
+        _compact3(z).astype(np.int64),
+        _compact3(z >> np.uint64(1)).astype(np.int64),
+        _compact3(z >> np.uint64(2)).astype(np.int64),
+    )
+
+
+def _spread3_sql(v: str) -> str:
+    """Portable 3-way spread (Spark SQL + DuckDB): shifts as * powers of 2.
+
+    Unlike the 2-way spread, ``(e | e<<s) & m`` intermediates exceed 63 bits
+    here (ANSI Spark throws on int64 overflow), so each stage uses the
+    equivalent mask-before-shift form ``(e & m) | ((e & (m >> s)) * 2^s)``
+    whose terms never leave int64 range.
+    """
+    expr = f"(({v}) & 2097151)"
+    for shift, mask in _MASKS3:
+        expr = (
+            f"((({expr}) & {mask}) | ((({expr}) & {mask >> shift}) * {1 << shift}))"
+        )
+    return expr
+
+
+def z3_sql_expr(lon_col: str, lat_col: str, ts_s_col: str, nbits: int,
+                period: str = "week") -> tuple[str, str]:
+    """(epoch_bin_sql, z3_sql) — identical math to :func:`z3_encode`,
+    evaluated natively by Spark codegen and bit-identically by DuckDB."""
+    secs = _PERIOD_SECONDS[period]
+    n = 1 << nbits
+    x, y = xy_sql_expr(lon_col, lat_col, nbits)
+    t = (
+        f"least(greatest(cast(floor(cast(({ts_s_col}) % {secs} as double) * {n} / {secs}.0) "
+        f"as bigint), 0), {n - 1})"
+    )
+    ebin = f"cast(floor(({ts_s_col}) / {secs}) as bigint)"
+    z3 = (
+        f"(({_spread3_sql(x)}) | (({_spread3_sql(y)}) * 2) | (({_spread3_sql(t)}) * 4))"
+    )
+    return ebin, z3
+
+
+def z3_stage_exprs(lon_col: str, lat_col: str, ts_s_col: str, nbits: int,
+                   period: str = "week", out: str = "z3"):
+    """Staged-column form of :func:`z3_sql_expr` for Spark (small plan)."""
+    secs = _PERIOD_SECONDS[period]
+    n = 1 << nbits
+    x, y = xy_sql_expr(lon_col, lat_col, nbits)
+    t = (
+        f"least(greatest(cast(floor(cast(({ts_s_col}) % {secs} as double) * {n} / {secs}.0) "
+        f"as bigint), 0), {n - 1})"
+    )
+    stages = [(f"__zx0_{out}", f"({x}) & 2097151"),
+              (f"__zy0_{out}", f"({y}) & 2097151"),
+              (f"__zt0_{out}", f"({t}) & 2097151")]
+    prev = [s[0] for s in stages]
+    for i, (shift, mask) in enumerate(_MASKS3, start=1):
+        nxt = [f"__zx{i}_{out}", f"__zy{i}_{out}", f"__zt{i}_{out}"]
+        for p, q in zip(prev, nxt):
+            # mask-before-shift keeps every term inside int64 (ANSI-safe)
+            stages.append(
+                (q, f"(({p}) & {mask}) | ((({p}) & {mask >> shift}) * {1 << shift})")
+            )
+        prev = nxt
+    stages.append((out, f"({prev[0]}) | (({prev[1]}) * 2) | (({prev[2]}) * 4)"))
+    return stages
+
+
+# ---------------------------------------------------------------------------
 # Time binning (BinnedTime analog)
 # ---------------------------------------------------------------------------
 

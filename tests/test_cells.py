@@ -223,3 +223,76 @@ class TestKnnJoinTable:
             for rnk, j in enumerate(order, 1):
                 expect.add((f"q{i}", ids[j], rnk))
         assert got == expect
+
+
+class TestZ3:
+    """True 3-way (lon, lat, time) interleave (Z3SFC.scala:22-47 parity)."""
+
+    def test_spread_compact_roundtrip(self):
+        import numpy as np
+
+        from geomesa_spark.core import cells
+
+        rng = np.random.default_rng(4)
+        v = rng.integers(0, 1 << 21, 5000)
+        assert (cells._compact3(cells._spread3(v)) == v).all()
+        # bit i of v lands on bit 3i
+        one = cells._spread3(np.array([1 << 20]))
+        assert int(one[0]) == 1 << 60
+
+    def test_encode_decode_and_bit_structure(self):
+        import numpy as np
+
+        from geomesa_spark.core import cells
+
+        rng = np.random.default_rng(5)
+        lon = rng.uniform(-180, 180, 2000)
+        lat = rng.uniform(-90, 90, 2000)
+        ts = rng.integers(1_700_000_000, 1_710_000_000, 2000)
+        ebin, z3 = cells.z3_encode(lon, lat, ts, nbits=21)
+        x, y, t = cells.z3_decode(z3, 21)
+        xe, ye = cells.xy_of(lon, lat, 21)
+        np.testing.assert_array_equal(x, xe)
+        np.testing.assert_array_equal(y, ye)
+        secs = 7 * 86400
+        te = np.clip(
+            np.floor((ts % secs).astype(np.float64) * (1 << 21) / secs).astype(np.int64),
+            0, (1 << 21) - 1,
+        )
+        np.testing.assert_array_equal(t, te)
+        np.testing.assert_array_equal(ebin, ts // secs)
+
+    def test_sql_expr_matches_numpy(self, spark):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from geomesa_spark.core import cells
+
+        rng = np.random.default_rng(6)
+        pdf = pd.DataFrame(
+            {
+                "lon": rng.uniform(-180, 180, 3000),
+                "lat": rng.uniform(-90, 90, 3000),
+                "ts_s": rng.integers(1_700_000_000, 1_710_000_000, 3000),
+            }
+        )
+        for nbits in (6, 21):
+            ebin_sql, z3_sql = cells.z3_sql_expr("lon", "lat", "ts_s", nbits)
+            got = (
+                spark.createDataFrame(pdf)
+                .select(F.expr(ebin_sql).alias("b"), F.expr(z3_sql).alias("z"))
+                .toPandas()
+            )
+            eb, ez = cells.z3_encode(
+                pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+                pdf["ts_s"].to_numpy(), nbits=nbits,
+            )
+            np.testing.assert_array_equal(got["b"].to_numpy(), eb)
+            np.testing.assert_array_equal(got["z"].to_numpy(), ez)
+            # staged form is bit-identical too
+            df = spark.createDataFrame(pdf)
+            for name, sql in cells.z3_stage_exprs("lon", "lat", "ts_s", nbits):
+                df = df.withColumn(name, F.expr(sql))
+            got2 = df.select("z3").toPandas()["z3"].to_numpy()
+            np.testing.assert_array_equal(got2, ez)

@@ -23,3 +23,60 @@ def test_facade_surface(spark):
 
     stats = eng.stats(df, "Count(); MinMax(lon)")
     assert stats["Count()"].collect()[0].cnt == 2
+
+
+def test_where_spatial_interception(spark):
+    """SQLRules analog: spatial conjuncts over literal geometries rewrite to
+    the cell-cover join (no per-row predicate UDF in the plan); residual
+    conjuncts survive as native filters. Parity vs the raw UDF evaluation."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.engine import Engine
+    from geomesa_spark.sources import images as src
+
+    eng = Engine(spark)
+    eng.register_sql()
+    pdf = src.generate_batch(np.arange(3000))[["image_id", "lon", "lat", "w"]]
+    df = spark.createDataFrame(pdf)
+    wkt = "POLYGON((-74.6 40.2, -73.4 40.2, -73.4 41.2, -74.6 41.2, -74.6 40.2))"
+    pred = (
+        f"st_intersects(st_geomFromWKT('{wkt}'), st_makePoint(lon, lat)) "
+        f"AND w >= 20"
+    )
+    out = eng.where_spatial(df, pred)
+    # the rewritten plan must not evaluate a python predicate UDF (box
+    # polygon -> fully native refine)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("extended")
+    plan = buf.getvalue()
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+    got = {r.image_id for r in out.collect()}
+    raw = df.filter(
+        F.expr(
+            f"st_intersects(st_geomFromWKT('{wkt}'), st_makePoint(lon, lat))"
+        )
+        & (F.col("w") >= 20)
+    )
+    expect = {r.image_id for r in raw.collect()}
+    assert got == expect and len(got) > 0
+
+    # point-first / within form (boundary excluded) also intercepts
+    out2 = eng.where_spatial(
+        df, f"st_within(st_makePoint(lon, lat), st_geomFromWKT('{wkt}'))"
+    )
+    all_inside = {
+        r.image_id
+        for r in df.filter(
+            F.expr(
+                f"st_intersects(st_geomFromWKT('{wkt}'), st_makePoint(lon, lat))"
+            )
+        ).collect()
+    }
+    got2 = {r.image_id for r in out2.collect()}
+    assert got2 <= all_inside and len(got2) > 0
