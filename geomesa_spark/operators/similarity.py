@@ -91,6 +91,24 @@ def hyperplane_bucket_udf(dim: int, n_planes: int = 12, table: int = 0):
     return bucket
 
 
+def multi_table_bucket_udf(dim: int, n_planes: int, n_tables: int):
+    """ALL tables' buckets in ONE Arrow pass: vec -> array<long> of length
+    n_tables (bucket per table). One Python stage + a native posexplode
+    replaces n_tables separate UDF evaluations of the same vectors — at
+    100 TB that is one scan of the embedding column instead of n_tables."""
+    all_planes = [sign_planes(dim, n_planes, t) for t in range(n_tables)]
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        cols = [((m @ p.T) > 0) @ weights for p in all_planes]
+        b = np.stack(cols, axis=1).astype(np.int64)
+        return pd.Series(list(b))
+
+    return buckets
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -108,14 +126,17 @@ def lsh_topk(
     Each of ``n_tables`` hash tables buckets both sides; candidates = union of
     same-bucket pairs; exact cosine re-rank on candidates only. At 10^12 rows
     the bucket join replaces the Q x N cross product with Q x (N / 2^planes)
-    per table."""
-    cands = None
-    for t in range(n_tables):
-        b = hyperplane_bucket_udf(dim, n_planes, t)
-        v = vectors.withColumn("__b", b(F.col(vec_col)))
-        q = queries.withColumn("__b", b(F.col(qvec_col)))
-        c = v.join(F.broadcast(q), "__b").drop("__b")
-        cands = c if cands is None else cands.unionByName(c)
+    per table. All tables' buckets come from ONE Arrow pass + posexplode
+    (multi_table_bucket_udf), one (table, bucket) equi-join — not a union of
+    per-table plans."""
+    bs = multi_table_bucket_udf(dim, n_planes, n_tables)
+    v = vectors.select(
+        id_col, vec_col, F.posexplode(bs(F.col(vec_col))).alias("__t", "__b")
+    )
+    q = queries.select(
+        qid_col, qvec_col, F.posexplode(bs(F.col(qvec_col))).alias("__t", "__b")
+    )
+    cands = v.join(F.broadcast(q), ["__t", "__b"]).drop("__t", "__b")
     cands = cands.dropDuplicates([qid_col, id_col])
     sim = (
         F.expr(_dot_expr(vec_col, qvec_col))
@@ -157,14 +178,19 @@ def embedding_neardup_pairs(
     if exact:
         cands = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
     else:
-        cands = None
-        for t in range(n_tables):
-            h = hyperplane_bucket_udf(dim, n_planes, t)
-            av = a.withColumn("__b", h(F.col("__va")))
-            bv = b.withColumn("__b", h(F.col("__vb")))
-            c = av.join(bv, "__b").filter(F.col("id_a") < F.col("id_b")).drop("__b")
-            cands = c if cands is None else cands.unionByName(c)
-        cands = cands.dropDuplicates(["id_a", "id_b"])
+        bs = multi_table_bucket_udf(dim, n_planes, n_tables)
+        av = a.select(
+            "id_a", "__va", F.posexplode(bs(F.col("__va"))).alias("__t", "__b")
+        )
+        bv = b.select(
+            "id_b", "__vb", F.posexplode(bs(F.col("__vb"))).alias("__t", "__b")
+        )
+        cands = (
+            av.join(bv, ["__t", "__b"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop("__t", "__b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     sim = (
         F.expr(_dot_expr("__va", "__vb"))
         / (F.expr(_norm_expr("__va")) * F.expr(_norm_expr("__vb")))
