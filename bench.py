@@ -58,22 +58,11 @@ BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/spark_graft_bench")
 
 
 def ensure_images_parquet(spark, n_images: int) -> str:
-    """Materialize the deterministic image table as parquet once (the stand-in
-    for the pre-existing Iceberg table the north rule reads); reused across
-    runs and across the two scaling children. 16 MB row groups so scan
-    parallelism scales with data size, not file count."""
-    from geomesa_spark.sources.images import images_df
+    """Image-table fixture (shared fixture layer; reused across runs and
+    across the scaling children)."""
+    from geomesa_spark.fixtures import ensure_images_parquet as _ensure
 
-    path = os.path.join(BENCH_TMP, f"images_{n_images}.parquet")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        (
-            images_df(spark, n_images)
-            .write.mode("overwrite")
-            .option("parquet.block.size", str(16 * 1024 * 1024))
-            .parquet(path)
-        )
-    return path
+    return _ensure(spark, n_images, base_dir=BENCH_TMP)
 
 
 def run_flagship(spark, n_images: int, reps: int = 2) -> dict:
@@ -115,27 +104,76 @@ def run_flagship(spark, n_images: int, reps: int = 2) -> dict:
     }
 
 
-def run_skew(spark, n_images: int = 50_000) -> dict:
-    """Skew variant (north rule): 70% of rows forced into ONE city cluster so
-    one cell dominates. Exercises both physical strategies of the spatial
-    join — broadcast (immune to skew: the point side never shuffles) and the
-    salted shuffle path (hot cover cells replicated x salt buckets + AQE
-    skew-join) — and reports both so the strategy choice is evidence, not
-    assertion."""
+SKEW_N = 4_000_000
+SKEW_REPS = 3
+
+
+def _skew_polys():
+    """Non-rectangular (hexagonal) city polygons: joined rows go through the
+    Arrow PIP refine stage, which is where a hot partition actually pays at
+    scale (box polygons refine in ~100ns of codegen and hide any skew)."""
+    import numpy as np
+
+    from geomesa_spark.sources.images import CITIES
+
+    def hexagon(cx, cy, r=0.6):
+        ang = np.linspace(0, 2 * np.pi, 7)[:-1]
+        pts = ", ".join(
+            f"{cx + r * np.cos(a):.4f} {cy + 0.8 * r * np.sin(a):.4f}" for a in ang
+        )
+        return f"POLYGON(({pts}, {cx + r:.4f} {cy:.4f}))"
+
+    return {f"c{i}": hexagon(lon, lat) for i, (lon, lat) in enumerate(CITIES)}
+
+
+def run_skew(spark, n_images: int = SKEW_N) -> dict:
+    """Skew evidence (north rule): 70% of rows carry the EXACT same
+    coordinate (default-geotag pathology — one Z2 cell, one join key; also
+    the case where a lon/lat-derived salt provably cannot split anything,
+    which is why the salt hashes the id column). Three arms over the
+    identical workload, 1 warmup + median of 3 reps each:
+
+    - broadcast: cover broadcast, nothing shuffles — immune to skew.
+    - salted shuffle (salt_buckets=8): hot key spread across 8 reducers.
+    - UNSALTED shuffle (salt_buckets=1): the control — the hot key's rows
+      all land on one reducer, which then pays the Arrow PIP refine for 70%
+      of the table serially.
+    """
+    import statistics
     import time as _t
 
     from geomesa_spark.operators.spatial_join import spatial_join
-    from geomesa_spark.sources.images import images_df
+    from geomesa_spark.sources.images import images_meta_df
 
-    imgs = images_df(spark, n_images, hot_city=0, hot_frac=0.7).drop("bytes").persist()
+    polys = _skew_polys()
+    imgs = images_meta_df(
+        spark, n_images, hot_city=0, hot_frac=0.7, hot_sigma=0.0
+    ).persist()
     imgs.count()
+    arms = {
+        "broadcast": dict(strategy="broadcast"),
+        "salted_shuffle": dict(strategy="shuffle", salt_buckets=8),
+        "unsalted_shuffle": dict(strategy="shuffle", salt_buckets=1),
+    }
     out = {}
-    for strategy in ("broadcast", "shuffle"):
-        t0 = _t.time()
-        n = spatial_join(imgs, FLAGSHIP_POLYS, strategy=strategy).count()
-        out[strategy] = {"seconds": round(_t.time() - t0, 3), "rows": n}
+    for name, kw in arms.items():
+        rows = spatial_join(imgs, polys, **kw).count()  # warmup
+        samples = []
+        for _ in range(SKEW_REPS):
+            t0 = _t.time()
+            spatial_join(imgs, polys, **kw).count()
+            samples.append(round(_t.time() - t0, 3))
+        out[name] = {
+            "seconds": statistics.median(samples),
+            "samples": samples,
+            "rows": rows,
+        }
     imgs.unpersist()
-    assert out["broadcast"]["rows"] == out["shuffle"]["rows"]
+    assert (
+        out["broadcast"]["rows"]
+        == out["salted_shuffle"]["rows"]
+        == out["unsalted_shuffle"]["rows"]
+    )
     return out
 
 
@@ -175,7 +213,8 @@ def run_bench() -> dict:
 
     skew = run_skew(spark)
     timings["img_skew_broadcast"] = skew["broadcast"]["seconds"]
-    timings["img_skew_salted_shuffle"] = skew["shuffle"]["seconds"]
+    timings["img_skew_salted_shuffle"] = skew["salted_shuffle"]["seconds"]
+    timings["img_skew_unsalted_shuffle"] = skew["unsalted_shuffle"]["seconds"]
 
     total = round(sum(timings.values()), 3)
     return {
@@ -187,6 +226,7 @@ def run_bench() -> dict:
         "flagship_rows_per_sec": round(flag["rows_per_sec"], 1),
         "flagship_rows_in": flag["rows_in"],
         "cpus": CPUS,
+        "skew": skew,
     }
 
 

@@ -854,19 +854,32 @@ GJ_HALF = 0.75  # half-size of the per-event box geometries (degrees)
 def q_geo_geom_join(spark, sf_dir):
     """Non-point geometry join (XZ analog): every event becomes a small BOX
     geometry around its point; join boxes to region polygons by intersects."""
-    from .core.geometry import to_wkb, box as gbox
     from .operators.geometry_join import geometry_join
 
     pts = _points(spark, sf_dir)
 
     @F.pandas_udf("binary")
     def box_wkb(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                to_wkb(gbox(lo - GJ_HALF, la - GJ_HALF, lo + GJ_HALF, la + GJ_HALF))
-                for lo, la in zip(lon, lat)
-            ]
+        # fully batched WKB construction (same 93-byte LE polygon layout as
+        # core.geometry.to_wkb for a 5-point box ring): header bytes tiled,
+        # coordinates written through one (n, 10) float64 view
+        import struct
+
+        lo = lon.to_numpy(dtype=np.float64)
+        la = lat.to_numpy(dtype=np.float64)
+        n = len(lo)
+        x0, y0 = lo - GJ_HALF, la - GJ_HALF
+        x1, y1 = lo + GJ_HALF, la + GJ_HALF
+        coords = np.empty((n, 10), dtype="<f8")
+        coords[:, 0::2] = np.column_stack([x0, x1, x1, x0, x0])
+        coords[:, 1::2] = np.column_stack([y0, y0, y1, y1, y0])
+        header = np.frombuffer(
+            b"\x01" + struct.pack("<III", 3, 1, 5), dtype=np.uint8
         )
+        buf = np.empty((n, 13 + 80), dtype=np.uint8)
+        buf[:, :13] = header
+        buf[:, 13:] = coords.view(np.uint8)
+        return pd.Series([row.tobytes() for row in buf])
 
     geoms = pts.select(
         "event_id",
@@ -1122,6 +1135,97 @@ FROM j WHERE jaccard >= {MINHASH_TAU}
 """
 
 
+MINHASH_BANDS = 16  # production banding: r = 64/16 = 4 rows per band
+
+
+def q_minhash_pairs_banded(spark, sf_dir):
+    """MinHash-LSH with the PRODUCTION banding (num_hashes=64, bands=16,
+    r=4) — the configuration a real corpus runs, driver-verified: the DuckDB
+    oracle replays signature -> banding -> candidates -> exact Jaccard, so
+    the hash checks the approximate pipeline itself (banding misses at the
+    threshold are part of the contract on BOTH sides: P(candidate | J) =
+    1 - (1 - J^4)^16, e.g. 0.64 at J=0.5, 0.9986 at J=0.8).
+
+    Candidate-volume bound (why r>=2 is the scale config): bucket keys are
+    r-minhash TUPLES, so P(two docs share a bucket) = J^r per band; expected
+    candidate volume is sum over bands of sum(bucket_size^2), which shrinks
+    multiplicatively in r — on the sf0.1 corpus the largest r=4 bucket holds
+    <1% of docs where the r=1 certified config collapsed 78% into one bucket
+    (dedup.py:141-148)."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, num_hashes=64, bands=MINHASH_BANDS, shingle_n=SHINGLE_N,
+        jaccard_threshold=MINHASH_TAU,
+    ).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard"
+    )
+
+
+def _minhash_ab(num_hashes: int = 64):
+    """The EXACT (a, b) coefficient streams of dedup.minhash_signature_udf
+    (same generator, same seed, same draw order)."""
+    from .operators.dedup import _HASH_PRIME
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, _HASH_PRIME, num_hashes, dtype=np.int64)
+    b = rng.integers(0, _HASH_PRIME, num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _oracle_minhash_pairs_banded():
+    """Replays the banded pipeline in SQL: poly31 shingle hashes ->
+    per-function (a*x + b) wrapped EXACTLY like the engine's uint64 numpy
+    ((a*x mod 2^64 + b) mod 2^64 mod p; products fit HUGEINT: < 2^93) ->
+    min per hash function -> r-tuple band keys (the engine buckets on
+    xxhash64 of the same comma-joined tuple — equality of tuples is equality
+    of buckets) -> distinct candidate pairs -> exact shingle Jaccard."""
+    from .operators.dedup import _HASH_PRIME
+
+    n = SHINGLE_N
+    r = 64 // MINHASH_BANDS
+    a, b = _minhash_ab(64)
+    ab_vals = ", ".join(
+        f"({k}, {int(a[k])}, {int(b[k])})" for k in range(64)
+    )
+    m64 = 1 << 64
+    # length-aware poly31 (mirrors _char_shingles' whole-string short branch)
+    p31 = [31 ** i for i in range(n)]
+    u = lambda k: f"unicode(substr(s,{k},1))"  # noqa: E731
+    cases = []
+    for ln in range(n, 0, -1):
+        terms = " + ".join(f"{u(k + 1)}*{p31[ln - 1 - k]}" for k in range(ln))
+        cases.append(f"WHEN {ln} THEN {terms}")
+    h_expr = f"(CASE length(s) {' '.join(cases)} ELSE 0 END) % 4294967296"
+    return f"""
+WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS tt FROM documents),
+sh AS (SELECT DISTINCT doc_id, substr(tt, i, {n}) AS s
+       FROM (SELECT doc_id, tt, unnest(range(1, greatest(length(tt) - {n - 2}, 2))) AS i FROM t)),
+h32 AS (SELECT doc_id, {h_expr} AS h FROM sh),
+ab(k, av, bv) AS (VALUES {ab_vals}),
+sig AS (SELECT doc_id, k,
+               min(CAST(((CAST(av AS HUGEINT) * h) % {m64} + bv) % {m64} % {_HASH_PRIME} AS BIGINT)) AS mh
+        FROM h32 CROSS JOIN ab GROUP BY 1, 2),
+bands AS (SELECT doc_id, CAST(k // {r} AS INTEGER) AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS bk
+          FROM sig GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+          FROM cand c JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          GROUP BY 1, 2),
+j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+      FROM inter JOIN sz ca ON ca.doc_id = id_a JOIN sz cb ON cb.doc_id = id_b)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(jaccard, 6) AS jaccard
+FROM j WHERE jaccard >= {MINHASH_TAU}
+"""
+
+
 SIMHASH_MAX_HAMMING = 3  # banding into max_hamming+1 chunks => exact recall
 
 
@@ -1153,8 +1257,14 @@ WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS
 sh AS (SELECT DISTINCT doc_id, substr(tt, i, 4) AS s
        FROM (SELECT doc_id, tt, unnest(range(1, greatest(length(tt) - 2, 2))) AS i FROM t)),
 h32 AS (SELECT doc_id,
-        (unicode(substr(s,1,1))*29791 + unicode(substr(s,2,1))*961
-         + unicode(substr(s,3,1))*31 + unicode(substr(s,4,1))) % 4294967296 AS h
+        (CASE length(s)
+           WHEN 4 THEN unicode(substr(s,1,1))*29791 + unicode(substr(s,2,1))*961
+                       + unicode(substr(s,3,1))*31 + unicode(substr(s,4,1))
+           WHEN 3 THEN unicode(substr(s,1,1))*961 + unicode(substr(s,2,1))*31
+                       + unicode(substr(s,3,1))
+           WHEN 2 THEN unicode(substr(s,1,1))*31 + unicode(substr(s,2,1))
+           WHEN 1 THEN unicode(substr(s,1,1))
+           ELSE 0 END) % 4294967296 AS h
         FROM sh),
 s1 AS (SELECT doc_id, CAST((CAST(h AS HUGEINT) + {c1}) % {m} AS UBIGINT) AS x FROM h32),
 s2 AS (SELECT doc_id, CAST({mulmod('xor(x, x >> 30)', c2)} AS UBIGINT) AS x FROM s1),
@@ -1444,29 +1554,18 @@ FROM imgs i JOIN xs ON xs.id = i.id JOIN ys ON ys.id = i.id
 """
 
 
-def _images_parquet(spark, n: int) -> str:
-    """Idempotent fixture materialization for the fused-scan operator (a
-    STORAGE scan: its input must be parquet row groups). Cache keyed by
-    (n, generator version); only written on first use."""
-    import os
-
-    from .sources.images import images_df
-
-    path = f"/tmp/spark_graft_catalog/images_v2_{n}.parquet"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        images_df(spark, int(n)).write.mode("overwrite").parquet(path)
-    return path
-
-
 def q_img_density_scan(spark, sf_dir):
     """Fused density scan (the flagship operator): image parquet -> cell-cover
     PIP filter + decode + tile assignment inside one Arrow scan stage. The
     oracle recomputes per-polygon image membership and the distinct morton
-    tile set from regenerated metadata."""
+    tile set from regenerated metadata. The parquet input comes from the
+    shared fixture layer (fixtures.ensure_images_parquet) — environment
+    setup, not query work."""
+    from .fixtures import ensure_images_parquet
     from .sources.parquet_scan import density_scan
 
     n = _img_n(spark, sf_dir)
-    path = _images_parquet(spark, n)
+    path = ensure_images_parquet(spark, n)
     polys = {pid: _box_wkt(b) for pid, b in IMG_POLYS.items()}
     tiles = density_scan(spark, path, polys, res=IMG_SCAN_RES, pixel_pitch_deg=IMG_PITCH)
     return tiles.groupBy("poly_id").agg(
@@ -1576,6 +1675,7 @@ QUERIES = {
     "geo_tube_select": (q_geo_tube_select, _oracle_geo_tube_select()),
     "geo_route_search": (q_geo_route_search, _oracle_geo_route_search()),
     "minhash_pairs": (q_minhash_pairs, _oracle_minhash_pairs()),
+    "minhash_pairs_banded": (q_minhash_pairs_banded, _oracle_minhash_pairs_banded()),
     "simhash_pairs": (q_simhash_pairs, _oracle_simhash_pairs()),
     "ann_lsh": (q_ann_lsh, _oracle_ann_lsh()),
     "ann_ivf": (q_ann_ivf, _oracle_ann_ivf()),

@@ -25,12 +25,17 @@ from .geometry import Geometry, points_in_polygon, polygon_edges
 _EPS = 1e-12
 
 
-def _ring(g: Geometry) -> np.ndarray:
-    """Open shell ring (N,2), ccw or cw as given, first != last."""
-    r = np.asarray(g.coords[0], dtype=np.float64)
+def _open(coords) -> np.ndarray:
+    """Open ring (N,2) from a (possibly closed) coordinate sequence."""
+    r = np.asarray(coords, dtype=np.float64)
     if len(r) > 1 and np.allclose(r[0], r[-1]):
         r = r[:-1]
     return r
+
+
+def _ring(g: Geometry) -> np.ndarray:
+    """Open shell ring (N,2), ccw or cw as given, first != last."""
+    return _open(g.coords[0])
 
 
 def _poly(ring: np.ndarray) -> Geometry:
@@ -262,58 +267,102 @@ def halfplane_clip(ring: np.ndarray, axis_x: float, keep_left: bool) -> np.ndarr
     return np.asarray(out) if len(out) >= 3 else np.zeros((0, 2))
 
 
-def split_antimeridian(g: Geometry) -> Geometry:
-    """Split a polygon whose ring genuinely spans the dateline into a
-    MultiPolygon with parts on either side (the reference's
-    antimeridianSafeGeom semantics). The input ring may carry raw longitudes
-    outside [-180, 180] (e.g. 170..190); rings already inside the range with
-    x-extent <= 180 are returned unchanged (wrapped)."""
-    if g.kind != "Polygon":
-        return g
-    r = _ring(g).copy()
-    # unwrap: make the ring continuous (no jump > 180 between neighbours)
+def _unwrap(r: np.ndarray) -> np.ndarray:
+    """Make a ring continuous: no lon jump > 180 between neighbours."""
+    r = r.copy()
     for i in range(1, len(r)):
         while r[i, 0] - r[i - 1, 0] > 180.0:
             r[i, 0] -= 360.0
         while r[i, 0] - r[i - 1, 0] < -180.0:
             r[i, 0] += 360.0
+    return r
+
+
+def _close_ring(r: np.ndarray) -> tuple:
+    pts = tuple((float(x), float(y)) for x, y in r)
+    return pts + (pts[0],)
+
+
+def split_antimeridian(g: Geometry) -> Geometry:
+    """Split a polygon whose shell genuinely spans the dateline into a
+    MultiPolygon with parts on either side (the reference's
+    antimeridianSafeGeom semantics). The shell may carry raw longitudes
+    outside [-180, 180] (e.g. 170..190); rings already inside the range with
+    x-extent <= 180 are returned UNCHANGED (object identity), so interior
+    rings (holes) of ordinary polygons are never touched. Holes of shifted
+    polygons translate with the shell; holes of genuinely split polygons are
+    clipped by the same half-plane and attached to their side's part."""
+    if g.kind != "Polygon":
+        return g
+    raw = np.asarray(g.coords[0], dtype=np.float64)
+    xs = raw[:, 0]
+    if -180.0 <= xs.min() and xs.max() <= 180.0 and xs.max() - xs.min() <= 180.0:
+        return g  # ordinary polygon: nothing to do, holes intact
+    r = _unwrap(_ring(g))
     lo, hi = float(r[:, 0].min()), float(r[:, 0].max())
     if hi - lo > 360.0:
         return g  # wraps the globe; not splittable
-    # shift so the ring sits in (-180, 540) and test which boundary it crosses
-    while lo > 180.0:
-        r[:, 0] -= 360.0
-        lo -= 360.0
-        hi -= 360.0
-    while hi < -180.0:
-        r[:, 0] += 360.0
-        lo += 360.0
-        hi += 360.0
-    parts = []
+    # shift so the shell sits in (-180, 540) and test which boundary it crosses
+    shift = 0.0
+    while lo + shift > 180.0:
+        shift -= 360.0
+    while hi + shift < -180.0:
+        shift += 360.0
+    r[:, 0] += shift
+    lo += shift
+    hi += shift
+    # holes: unwrap each, then translate by 360-multiples so it sits inside
+    # the (shifted) shell's lon span — a hole is inside the shell, so its
+    # correct frame is the one overlapping [lo, hi]
+    holes = []
+    for h in g.coords[1:]:
+        hr = _unwrap(_open(h))
+        while float(hr[:, 0].min()) > hi:
+            hr[:, 0] -= 360.0
+        while float(hr[:, 0].max()) < lo:
+            hr[:, 0] += 360.0
+        holes.append(hr)
+
     if hi > 180.0 and lo < 180.0:
-        west = halfplane_clip(r, 180.0, keep_left=True)
-        east = halfplane_clip(r, 180.0, keep_left=False)
-        east[:, 0] -= 360.0
-        parts = [p for p in (west, east) if len(p)]
+        axis, shifts = 180.0, (0.0, -360.0)  # (west-of-axis, east-of-axis)
     elif lo < -180.0 and hi > -180.0:
-        east = halfplane_clip(r, -180.0, keep_left=False)
-        west = halfplane_clip(r, -180.0, keep_left=True)
-        west[:, 0] += 360.0
-        parts = [p for p in (east, west) if len(p)]
+        axis, shifts = -180.0, (360.0, 0.0)
     else:
-        if hi > 180.0 or lo < -180.0:  # entirely out of range: translate
-            shift = -360.0 if hi > 180.0 else 360.0
-            r[:, 0] += shift
-        return _poly(r)
+        if hi > 180.0 or lo < -180.0:  # entirely out of range: translate all
+            extra = -360.0 if hi > 180.0 else 360.0
+            r[:, 0] += extra
+            for hr in holes:
+                hr[:, 0] += extra
+        if not holes and shift == 0.0 and (hi <= 180.0 and lo >= -180.0):
+            return _poly(r)
+        return Geometry(
+            "Polygon", (_close_ring(r),) + tuple(_close_ring(h) for h in holes)
+        )
+
+    parts = []  # (shell, [holes]) per side
+    for keep_left, part_shift in zip((True, False), shifts):
+        ps = halfplane_clip(r, axis, keep_left=keep_left)
+        if not len(ps):
+            continue
+        ph = []
+        for hr in holes:
+            hc = halfplane_clip(hr, axis, keep_left=keep_left)
+            if len(hc):
+                hc = hc.copy()
+                hc[:, 0] += part_shift
+                ph.append(hc)
+        ps = ps.copy()
+        ps[:, 0] += part_shift
+        parts.append((ps, ph))
     if len(parts) == 1:
-        return _poly(parts[0])
+        shell, ph = parts[0]
+        return Geometry(
+            "Polygon", (_close_ring(shell),) + tuple(_close_ring(h) for h in ph)
+        )
     return Geometry(
         "MultiPolygon",
         tuple(
-            (
-                tuple((float(x), float(y)) for x, y in p)
-                + ((float(p[0][0]), float(p[0][1])),),
-            )
-            for p in parts
+            (_close_ring(shell),) + tuple(_close_ring(h) for h in ph)
+            for shell, ph in parts
         ),
     )

@@ -175,11 +175,18 @@ def children(cell: int) -> np.ndarray:
 
 
 def contains(cell: int, other) -> np.ndarray:
-    """Does ``cell`` contain ``other`` (hierarchically)?"""
-    c = np.int64(cell)
-    lsb = c & -c
-    o = np.asarray(other, dtype=np.int64)
-    return (o >= c - lsb + 1) & (o <= c + lsb - 1)
+    """Does ``cell`` contain ``other`` (hierarchically)?
+
+    Range arithmetic in uint64 (as encode/cell_center_lonlat do): for face
+    4/5 cells the sign bit is set and signed int64 subtraction overflows
+    (RuntimeWarning + wraparound reliance). A cell's descendants occupy
+    [c - lsb + 1, c + lsb - 1], which never crosses a face boundary, so the
+    unsigned comparison agrees with curve order."""
+    c = np.asarray(cell, dtype=np.int64).view(np.uint64)
+    lsb = c & (~c + np.uint64(1))
+    o = np.asarray(other, dtype=np.int64).view(np.uint64)
+    one = np.uint64(1)
+    return (o >= c - lsb + one) & (o <= c + lsb - one)
 
 
 def cell_center_lonlat(cell) -> tuple[np.ndarray, np.ndarray]:

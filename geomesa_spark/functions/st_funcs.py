@@ -503,12 +503,23 @@ def _build():
                 )
                 keep = inside if op == "int" else not inside
                 return G.to_wkb(x) if keep else None
+            if y.kind == "Point":
+                # mirror of the branch above, so argument order cannot flip
+                # the answer: intersection(a, point) = point iff a covers it;
+                # difference(a, point) = a (a point is zero-measure — JTS
+                # likewise returns the area/line unchanged)
+                if op == "int":
+                    inside = G.relate(x, y, "covers") if x.dim == 2 else G.relate(
+                        y, x, "intersects"
+                    )
+                    return G.to_wkb(y) if inside else None
+                return G.to_wkb(x)
             if x.kind == "Polygon" and y.kind == "Polygon":
                 from ..core.clip import polygon_overlay
 
                 r = polygon_overlay(x, y, op)
                 return None if r is None else G.to_wkb(r)
-            return None  # lines/multi overlays out of scope (documented)
+            return None  # line/multi overlays out of scope (documented NULL)
 
         return fn
 

@@ -148,6 +148,11 @@ def knn_join_table(
                 F.col("__dist").alias("dist"), F.col("__rnk").alias("rnk"),
             )
         )
+        # the round's expensive explode+join DAG fans out three ways (per_q
+        # agg, resolved-result semi join, next round's anti join) and is also
+        # part of the returned lineage — persist it so the remaining.count()
+        # action below materializes it ONCE and the final action reuses it
+        topk = topk.persist()
         if covers_world:
             got = topk.drop("__ql")
             results = got if results is None else results.unionByName(got)
@@ -194,6 +199,7 @@ def knn_join_table(
         unresolved.unpersist() if hasattr(unresolved, "unpersist") else None
         unresolved = remaining
         if n_left == 0:
+            remaining.unpersist()  # empty; nothing downstream reads it
             break
         r *= 2
     else:

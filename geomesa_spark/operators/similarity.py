@@ -250,10 +250,15 @@ def ivf_topk_native(
     iterations, so an ANSI-SQL oracle can reproduce the whole pipeline).
 
     Plan: assignment = broadcast cross join against the centroid table +
-    window argmax (N x C JVM-side dot products — the canonical IVF assign
-    cost); probing = same per query; rerank = exact cosine over probed lists
-    only. -> (qid, vec_id, sim, rnk). Use :func:`ivf_topk` for the trained
-    k-means quantizer.
+    ``min_by`` argmax aggregate (N x C JVM-side dot products — the canonical
+    IVF assign cost — but the N x C candidate set NEVER shuffles: min_by has
+    a partial-aggregate form, so each map task collapses its rows to one per
+    vector id before the exchange; only N (id, vec, list) rows cross the
+    wire, vs the round-2 row_number window that shuffled and sorted all
+    N x C rows with full embedding payloads); probing = per-query window over
+    the tiny Q x C set; rerank = exact cosine over probed lists only.
+    -> (qid, vec_id, sim, rnk). Use :func:`ivf_topk` for the trained k-means
+    quantizer.
     """
     cent = F.broadcast(
         vectors.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
@@ -264,13 +269,20 @@ def ivf_topk_native(
         F.expr(_dot_expr(vec_col, "__cvec"))
         / (F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr("__cvec")))
     )
-    wv = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("__cid").asc())
+    # argmax by (sim DESC, cid ASC) == min_by over (-sim, cid) — identical
+    # tie-breaking to the SQL oracle's row_number ordering
     assign = (
         vectors.crossJoin(cent)
         .withColumn("__csim", csim)
-        .withColumn("__r", F.row_number().over(wv))
-        .filter(F.col("__r") == 1)
-        .select(id_col, vec_col, F.col("__cid").alias("__list"))
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.col("__cid"),
+                F.struct((-F.col("__csim")).alias("ns"), F.col("__cid").alias("c")),
+            ).alias("__list"),
+            F.any_value(F.col(vec_col)).alias(vec_col),
+        )
+        .select(id_col, vec_col, "__list")
     )
     qsim = (
         F.expr(_dot_expr(qvec_col, "__cvec"))

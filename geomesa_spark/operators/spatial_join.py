@@ -49,6 +49,10 @@ DEFAULT_RES = 14               # ~2.4 km cells at the equator
 DEFAULT_MAX_CELLS = 2048       # per-polygon cover budget (QueryProperties.scala:22 analog)
 BROADCAST_COVER_LIMIT = 2_000_000   # cover rows; beyond this, shuffle join
 SALT_BUCKETS = 8
+# columns recognized as a row identity for salting (the reference shards by
+# feature id, ShardStrategy.scala:71-79 / WritableFeature.scala:51); falls
+# back to (lon, lat) when none is present
+SALT_ID_CANDIDATES = ("image_id", "event_id", "doc_id", "vec_id", "id", "__fid__")
 
 
 @dataclass
@@ -177,6 +181,7 @@ def spatial_join(
     cell_col: str | None = None,
     strategy: str = "auto",          # auto | broadcast | shuffle
     salt_buckets: int = SALT_BUCKETS,
+    salt_id_col: str | None = None,  # row-identity column for the salt hash
 ) -> DataFrame:
     """Inner-join ``points`` to the polygons they fall in; adds ``poly_id``.
 
@@ -272,20 +277,34 @@ def spatial_join(
         # points by a PER-ROW hash (never the join key itself — a key-derived
         # salt sends every row of a hot cell to the same bucket and splits
         # nothing). Reference precedent: the shard byte hashes the feature id,
-        # not the z-key (ShardStrategy.scala:71-79, WritableFeature.scala:51);
-        # here lon/lat stand in for the id so the salt needs no extra column.
+        # not the z-key (ShardStrategy.scala:71-79, WritableFeature.scala:51):
+        # salt by the row's id column when one exists — exact-duplicate
+        # coordinates (common in dedup-worthy corpora) then still spread —
+        # falling back to (lon, lat) for id-less inputs.
         salted_cov = cov_df.withColumn(
             "__csalt", F.explode(F.array(*[F.lit(s) for s in range(salt_buckets)]))
         )
+        if salt_id_col is None:
+            salt_id_col = next(
+                (c for c in SALT_ID_CANDIDATES if c in points.columns), None
+            )
+        salt_src = (
+            [F.col(salt_id_col)]
+            if salt_id_col is not None
+            else [F.col(lon), F.col(lat)]
+        )
         pts = pts.withColumn(
             "__salt",
-            F.pmod(
-                F.xxhash64(F.col(lon), F.col(lat), F.lit(17)), F.lit(salt_buckets)
-            ).cast("int"),
+            F.pmod(F.xxhash64(*salt_src, F.lit(17)), F.lit(salt_buckets)).cast("int"),
         )
+        # the shuffle strategy exists for covers too big to broadcast — force
+        # the shuffled hash join so the physical plan matches that regime even
+        # when a test/bench cover happens to fit under the autobroadcast
+        # threshold (otherwise Catalyst silently broadcasts and the salt
+        # measures nothing)
         out = (
             pts.join(
-                salted_cov,
+                salted_cov.hint("shuffle_hash"),
                 (F.col("__a.cres") == salted_cov["cres"])
                 & (F.col("__a.anc") == salted_cov["ccell"])
                 & (F.col("__salt") == salted_cov["__csalt"]),

@@ -129,7 +129,6 @@ def tube_select(
     points: DataFrame,
     track_pdf: pd.DataFrame,
     buffer_m: float,
-    time_bin_s: int | None = None,   # kept for API compat; bins via ts_bin col
     lon: str = "lon",
     lat: str = "lat",
     ts: str = "ts",

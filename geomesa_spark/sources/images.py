@@ -72,26 +72,34 @@ def _gauss(ids: np.ndarray, salt: int) -> np.ndarray:
     return np.sqrt(-2.0 * np.log(u1)) * np.cos(2 * np.pi * u2)
 
 
-def lonlat_of(ids: np.ndarray, hot_city: int | None = None, hot_frac: float = 0.0):
+def lonlat_of(ids: np.ndarray, hot_city: int | None = None, hot_frac: float = 0.0,
+              hot_sigma: float | None = None):
     """Hot-spot mixture locations. ``hot_city``/``hot_frac`` force extra skew
-    (the salting test variant: one cluster holding ``hot_frac`` of rows)."""
+    (the salting test variant: one cluster holding ``hot_frac`` of rows);
+    ``hot_sigma`` overrides the forced-hot cluster's spread — 0.0 puts every
+    hot row at the EXACT city-center coordinate (the default-geotag
+    pathology: one Z2 cell key, exact-duplicate lon/lat)."""
     ids = np.asarray(ids, dtype=np.int64)
     u_pick = _u01(ids, 1)
     city_idx = (_u01(ids, 2) * len(CITIES)).astype(np.int64)
     clustered = u_pick < CLUSTER_FRAC
+    force_hot = np.zeros(len(ids), dtype=bool)
     if hot_city is not None:
         force_hot = _u01(ids, 9) < hot_frac
         city_idx = np.where(force_hot, hot_city, city_idx)
         clustered = clustered | force_hot
+    sigma = np.full(len(ids), CLUSTER_SIGMA)
+    if hot_sigma is not None:
+        sigma = np.where(force_hot, hot_sigma, sigma)
     centers = np.array(CITIES)
     lon = np.where(
         clustered,
-        centers[city_idx, 0] + _gauss(ids, 3) * CLUSTER_SIGMA,
+        centers[city_idx, 0] + _gauss(ids, 3) * sigma,
         _u01(ids, 5) * 360.0 - 180.0,
     )
     lat = np.where(
         clustered,
-        centers[city_idx, 1] + _gauss(ids, 4) * CLUSTER_SIGMA,
+        centers[city_idx, 1] + _gauss(ids, 4) * sigma,
         _u01(ids, 6) * 180.0 - 90.0,
     )
     return np.clip(lon, -180.0, 179.999999), np.clip(lat, -90.0, 89.999999)
@@ -170,6 +178,35 @@ def generate_batch(ids: np.ndarray, hot_city: int | None = None, hot_frac: float
     pdf["lat"] = lat
     pdf["ts"] = pd.to_datetime(ts, unit="s")
     return pdf
+
+
+def images_meta_df(spark, n: int, partitions: int | None = None,
+                   hot_city: int | None = None, hot_frac: float = 0.0,
+                   hot_sigma: float | None = None):
+    """Metadata-only variant of :func:`images_df` — (image_id, lon, lat, ts)
+    with NO pixel/byte generation. For join/skew benches where the payload
+    never participates: generating pixels to immediately drop them would
+    dominate the measurement."""
+    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            lon, lat = lonlat_of(ids, hot_city=hot_city, hot_frac=hot_frac,
+                                 hot_sigma=hot_sigma)
+            ts = TS_EPOCH + (_u01(ids, 7) * TS_SPAN).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "image_id": [f"img{int(i):010d}" for i in ids],
+                    "lon": lon,
+                    "lat": lat,
+                    "ts": pd.to_datetime(ts, unit="s"),
+                }
+            )
+
+    return rng.mapInPandas(
+        gen, schema="image_id string, lon double, lat double, ts timestamp"
+    )
 
 
 def images_df(spark, n: int, partitions: int | None = None,

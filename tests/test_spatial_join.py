@@ -137,3 +137,33 @@ def test_salted_shuffle_splits_hot_cell(spark):
         assert pids.nunique() >= 4, f"hot cell landed in {pids.nunique()} partitions"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_salt_splits_exact_duplicate_points(spark):
+    """Exact-duplicate coordinates (default-geotag pathology) are the case a
+    lon/lat-derived salt provably cannot split: every row hashes alike. The
+    salt must hash the row's ID column (ShardStrategy.scala:71-79 hashes the
+    feature id) so duplicate points still spread across reducers."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"i{i}" for i in range(n)],
+            "lon": [-74.006] * n,   # all rows: the IDENTICAL coordinate
+            "lat": [40.713] * n,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # no coalescing
+    try:
+        out = spatial_join(
+            df, {"nyc": POLYS["nyc_box"]}, strategy="shuffle", salt_buckets=8
+        ).withColumn("pid", F.spark_partition_id())
+        pids = out.select("pid").toPandas()["pid"]
+        assert len(pids) == n
+        assert pids.nunique() >= 4, f"duplicate points in {pids.nunique()} partitions"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

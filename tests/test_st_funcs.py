@@ -257,3 +257,67 @@ def test_antimeridian_polygon_split(spark):
         "'POLYGON((170 10, 190 10, 190 20, 170 20, 170 10))')))",
     )
     assert area == pytest.approx(200.0)
+
+def test_antimeridian_preserves_holes(spark):
+    """Holed polygons nowhere near the dateline pass through UNCHANGED
+    (round-2 regression: split_antimeridian rebuilt from the shell only)."""
+    wkt = (
+        "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))"
+    )
+    out = _sql1(
+        spark,
+        f"st_asText(st_antimeridianSafeGeom(st_geomFromWKT('{wkt}')))",
+    )
+    assert out.count("(") == 3, out  # shell + hole still present
+    area = _sql1(
+        spark, f"st_area(st_antimeridianSafeGeom(st_geomFromWKT('{wkt}')))"
+    )
+    assert area == pytest.approx(99.0)
+
+
+def test_antimeridian_shifts_holes_with_shell(spark):
+    """An out-of-range holed polygon translates ALL rings together."""
+    wkt = (
+        "POLYGON((200 0, 210 0, 210 10, 200 10, 200 0),"
+        " (202 2, 203 2, 203 3, 202 3, 202 2))"
+    )
+    area = _sql1(
+        spark, f"st_area(st_antimeridianSafeGeom(st_geomFromWKT('{wkt}')))"
+    )
+    assert area == pytest.approx(99.0)
+    out = _sql1(
+        spark, f"st_asText(st_antimeridianSafeGeom(st_geomFromWKT('{wkt}')))"
+    )
+    assert "-160 0" in out and "-158 2" in out, out
+
+
+def test_antimeridian_split_clips_holes(spark):
+    """A dateline-spanning polygon with a hole keeps the hole's area out of
+    both split parts (hole clipped by the same half-plane)."""
+    wkt = (
+        "POLYGON((170 10, 190 10, 190 20, 170 20, 170 10),"
+        " (178 12, 182 12, 182 14, 178 14, 178 12))"
+    )
+    out = _sql1(
+        spark, f"st_asText(st_antimeridianSafeGeom(st_geomFromWKT('{wkt}')))"
+    )
+    assert out.startswith("MULTIPOLYGON")
+    area = _sql1(
+        spark, f"st_area(st_antimeridianSafeGeom(st_geomFromWKT('{wkt}')))"
+    )
+    assert area == pytest.approx(200.0 - 8.0)
+
+
+def test_overlay_point_second_argument(spark):
+    """st_intersection/st_difference with the Point as the SECOND argument
+    mirror the point-first short-circuit (round-2 asymmetry fix)."""
+    a = f"st_geomFromWKT('{BOX}')"
+    p_in = "st_geomFromWKT('POINT(5 5)')"
+    p_out = "st_geomFromWKT('POINT(15 5)')"
+    assert _sql1(spark, f"st_asText(st_intersection({a}, {p_in}))") == "POINT (5 5)"
+    assert _sql1(spark, f"st_intersection({a}, {p_out})") is None
+    # difference(area, point): the area unchanged (zero-measure removal)
+    assert _sql1(spark, f"st_area(st_difference({a}, {p_in}))") == pytest.approx(100.0)
+    # and the symmetric point-first forms still agree
+    assert _sql1(spark, f"st_asText(st_intersection({p_in}, {a}))") == "POINT (5 5)"
+    assert _sql1(spark, f"st_difference({p_in}, {a})") is None
