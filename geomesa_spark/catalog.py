@@ -288,6 +288,50 @@ SELECT query_id, event_id, rnk FROM r WHERE rnk <= {KNN_K}
 """
 
 
+KNN_TABLE_NQ = 200  # table-scale path: too many queries for the client loop
+
+
+def q_geo_knn_table(spark, sf_dir):
+    """Fully distributed table-to-table kNN (knn_join_table): queries are a
+    DataFrame, disk expansion is native sequence/explode + morton exprs, no
+    per-query driver work and no LocalTableScan — the scale path for query
+    sets beyond the client-driven process analog
+    (KNearestNeighborSearchProcess.scala:222-301 re-expressed set-at-a-time)."""
+    from .operators.knn import knn_join_table
+
+    pts = _points(spark, sf_dir)
+    queries = pts.filter(F.col("event_id") < KNN_TABLE_NQ).select(
+        F.col("event_id").alias("query_id"),
+        F.col("lon").alias("qlon"),
+        F.col("lat").alias("qlat"),
+    )
+    out = knn_join_table(
+        pts, queries, k=KNN_K, point_id="event_id",
+        metric="planar", res=8,
+    )
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("event_id").cast("long"),
+        F.col("rnk").cast("int"),
+    )
+
+
+def _oracle_geo_knn_table():
+    return f"""
+WITH pts AS (SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+q AS (SELECT event_id AS query_id, lon AS qlon, lat AS qlat FROM pts WHERE event_id < {KNN_TABLE_NQ}),
+d AS (
+  SELECT q.query_id, p.event_id,
+         sqrt((p.lon - q.qlon) * (p.lon - q.qlon) + (p.lat - q.qlat) * (p.lat - q.qlat)) AS dist
+  FROM pts p CROSS JOIN q WHERE p.event_id <> q.query_id
+),
+r AS (SELECT query_id, event_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, event_id ASC) AS INTEGER) AS rnk
+      FROM d)
+SELECT query_id, event_id, rnk FROM r WHERE rnk <= {KNN_K}
+"""
+
+
 def q_geo_knn_sphere(spark, sf_dir):
     """Spherical (haversine) kNN — the reference's metric; planar variant
     above exercises bit-identical parity, this one exercises the geodesic."""
@@ -851,12 +895,9 @@ FROM embeddings
 GJ_HALF = 0.75  # half-size of the per-event box geometries (degrees)
 
 
-def q_geo_geom_join(spark, sf_dir):
-    """Non-point geometry join (XZ analog): every event becomes a small BOX
-    geometry around its point; join boxes to region polygons by intersects."""
-    from .operators.geometry_join import geometry_join
-
-    pts = _points(spark, sf_dir)
+def _event_box_geoms(pts):
+    """WKB box geometry per event (batched construction) — the non-point-row
+    fixture for the XZ2/XZ3 join entries."""
 
     @F.pandas_udf("binary")
     def box_wkb(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -881,12 +922,19 @@ def q_geo_geom_join(spark, sf_dir):
         buf[:, 13:] = coords.view(np.uint8)
         return pd.Series([row.tobytes() for row in buf])
 
-    geoms = pts.select(
-        "event_id",
-        "value",
-        box_wkb(
-            F.col("lon").cast("double"), F.col("lat").cast("double")
-        ).alias("geom"),
+    return pts.withColumn(
+        "geom",
+        box_wkb(F.col("lon").cast("double"), F.col("lat").cast("double")),
+    )
+
+
+def q_geo_geom_join(spark, sf_dir):
+    """Non-point geometry join (XZ analog): every event becomes a small BOX
+    geometry around its point; join boxes to region polygons by intersects."""
+    from .operators.geometry_join import geometry_join
+
+    geoms = _event_box_geoms(_points(spark, sf_dir)).select(
+        "event_id", "value", "geom"
     )
     polys = {pid: _box_wkt(b) for pid, b in BOXES.items()}
     out = geometry_join(geoms, polys, geom_col="geom", row_id="event_id")
@@ -907,6 +955,94 @@ boxes(poly_id, x0, y0, x1, y1) AS (VALUES {vals})
 SELECT poly_id, CAST(count(*) AS BIGINT) AS n_geoms, round(sum(value), 4) AS sum_value
 FROM pts JOIN boxes
   ON (lon + {h}) >= x0 AND (lon - {h}) <= x1 AND (lat + {h}) >= y0 AND (lat - {h}) <= y1
+GROUP BY poly_id
+"""
+
+
+WS_SITE = (2.35, 48.85)      # Paris
+WS_RADIUS = 1_200_000.0
+
+
+def q_geo_where_spatial(spark, sf_dir):
+    """Facade path end-to-end (Engine.where_spatial — the SQLRules analog):
+    one predicate string mixing a bbox st_intersects form, an st_dwithin
+    form, and a residual native conjunct; every spatial conjunct must be
+    rewritten to index-backed operators (zero row-at-a-time predicate
+    evaluation) and the result must equal the plain-SQL semantics."""
+    from .engine import Engine
+
+    x0, y0, x1, y1 = BOXES["b_eu"]
+    pred = (
+        f"st_intersects(st_makeBBOX({x0}, {y0}, {x1}, {y1}), "
+        f"st_makePoint(lon, lat)) AND "
+        f"st_dwithin(st_geomFromWKT('POINT({WS_SITE[0]} {WS_SITE[1]})'), "
+        f"st_makePoint(lon, lat), {WS_RADIUS}) AND value > 0.25"
+    )
+    out = Engine(spark).where_spatial(_points(spark, sf_dir), pred)
+    return out.agg(
+        F.count("*").alias("n_points"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _oracle_geo_where_spatial():
+    from .operators.proximity import haversine_sql
+
+    x0, y0, x1, y1 = BOXES["b_eu"]
+    dist = haversine_sql(str(WS_SITE[0]), str(WS_SITE[1]), "lon", "lat")
+    return f"""
+WITH pts AS (SELECT value, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_points, round(sum(value), 4) AS sum_value
+FROM pts
+WHERE lon BETWEEN {x0} AND {x1} AND lat BETWEEN {y0} AND {y1}
+  AND {dist} <= {WS_RADIUS!r} AND value > 0.25
+"""
+
+
+GJT_WEEK = 604_800
+GJT_T0 = 1_704_067_200  # 2024-01-01 (events span Jan 1-30)
+GJT_WINDOWS = {
+    pid: (float(GJT_T0 + i * 302_400), float(GJT_T0 + i * 302_400 + 2 * GJT_WEEK))
+    for i, pid in enumerate(BOXES)
+}
+
+
+def q_geo_geom_join_time(spark, sf_dir):
+    """Time-extended non-point geometry join (XZ3 analog): event boxes join
+    region polygons only within each polygon's [t0, t1) window; the candidate
+    key is (bbox cell, epoch-week bin) so out-of-window epochs are pruned by
+    the join, not scanned (XZ3SFC.scala / Z3IndexKeySpace.scala:98-160)."""
+    from .operators.geometry_join import geometry_join_time
+
+    geoms = _event_box_geoms(_points(spark, sf_dir)).select(
+        "event_id", "value", "geom",
+        F.col("ts").cast("timestamp").cast("long").cast("double").alias("ts_s"),
+    )
+    polys = {pid: _box_wkt(b) for pid, b in BOXES.items()}
+    out = geometry_join_time(
+        geoms, polys, GJT_WINDOWS, geom_col="geom", ts="ts_s",
+        row_id="event_id", period_s=GJT_WEEK,
+    )
+    return out.groupBy("poly_id").agg(
+        F.count("*").alias("n_geoms"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _oracle_geo_geom_join_time():
+    vals = ", ".join(
+        f"('{pid}', {x0}, {y0}, {x1}, {y1}, {GJT_WINDOWS[pid][0]!r}, {GJT_WINDOWS[pid][1]!r})"
+        for pid, (x0, y0, x1, y1) in BOXES.items()
+    )
+    h = GJ_HALF
+    return f"""
+WITH pts AS (SELECT event_id, value, CAST(floor(epoch(ts)) AS DOUBLE) AS ts_s,
+                    {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+boxes(poly_id, x0, y0, x1, y1, t0, t1) AS (VALUES {vals})
+SELECT poly_id, CAST(count(*) AS BIGINT) AS n_geoms, round(sum(value), 4) AS sum_value
+FROM pts JOIN boxes
+  ON (lon + {h}) >= x0 AND (lon - {h}) <= x1 AND (lat + {h}) >= y0 AND (lat - {h}) <= y1
+ AND ts_s >= t0 AND ts_s < t1
 GROUP BY poly_id
 """
 
@@ -1644,6 +1780,7 @@ QUERIES = {
     "geo_z3_cells": (q_geo_z3_cells, _oracle_geo_z3_cells()),
     "geo_knn": (q_geo_knn, _oracle_geo_knn()),
     "geo_knn_sphere": (q_geo_knn_sphere, _oracle_geo_knn_sphere()),
+    "geo_knn_table": (q_geo_knn_table, _oracle_geo_knn_table()),
     "geo_track_segments": (q_geo_track_segments, _oracle_geo_track_segments()),
     "geo_sample_nth": (q_geo_sample_nth, _oracle_geo_sample_nth()),
     "geo_proximity_join": (q_geo_proximity_join, _oracle_geo_proximity_join()),
@@ -1670,6 +1807,8 @@ QUERIES = {
     "embed_neardup": (q_embed_neardup, _oracle_embed_neardup_lsh()),
     "embed_neardup_exact": (q_embed_neardup_exact, _oracle_embed_neardup()),
     "geo_geom_join": (q_geo_geom_join, _oracle_geo_geom_join()),
+    "geo_geom_join_time": (q_geo_geom_join_time, _oracle_geo_geom_join_time()),
+    "geo_where_spatial": (q_geo_where_spatial, _oracle_geo_where_spatial()),
     # rows-only (non-SQL-expressible)
     "geo_convex_hull": (q_geo_convex_hull, _oracle_geo_convex_hull()),
     "geo_tube_select": (q_geo_tube_select, _oracle_geo_tube_select()),

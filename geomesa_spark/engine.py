@@ -105,70 +105,32 @@ class Engine:
     def where_spatial(self, df: DataFrame, predicate: str) -> DataFrame:
         """Filter with automatic spatial-predicate pushdown — the content of
         the reference's Catalyst rule (``SQLRules.SpatialOptimizationsRule``,
-        org/apache/spark/sql/SQLRules.scala:204-256: split conjuncts,
-        translate ``st_*`` calls over literal geometries into index scans,
-        leave the rest as residual filters) applied at the predicate layer
-        (PySpark exposes no optimizer-rule extension point, so the rewrite
-        runs before the plan is built — same plans, same effect).
+        org/apache/spark/sql/SQLRules.scala:204-256, predicate translation
+        table :36-141: split conjuncts, translate ``st_*`` calls over literal
+        geometries into index scans, leave the rest as residual filters)
+        applied at the predicate layer (PySpark exposes no optimizer-rule
+        extension point, so the rewrite runs before the plan is built — same
+        plans, same effect).
 
-        Recognized conjuncts (literal geometry + point columns, either order):
+        Recognized conjuncts (literal geometry + point columns, either
+        order; geometry literals are ``st_geomFromWKT('...')`` or
+        ``st_makeBBOX/st_makeBox2D(x0, y0, x1, y1)`` with numeric literals):
 
-            st_intersects(st_geomFromWKT('...'), st_makePoint(lon, lat))
-            st_contains  (st_geomFromWKT('...'), st_makePoint(lon, lat))
-            st_within    (st_makePoint(lon, lat), st_geomFromWKT('...'))
+            st_intersects(<geom_lit>, st_makePoint(lon, lat))
+            st_contains  (<geom_lit>, st_makePoint(lon, lat))
+            st_covers    (<geom_lit>, st_makePoint(lon, lat))
+            st_within    (st_makePoint(lon, lat), <geom_lit>)
+            st_dwithin   (<point_lit>, st_makePoint(lon, lat), meters)
 
-        become cell-cover prefilter + native/Arrow refine via
-        :func:`operators.spatial_join.spatial_join` (boundary excluded for
-        contains/within, included for intersects). Unrecognized conjuncts
-        are applied unchanged as native ``filter`` expressions (the UDFs
-        must then be registered via :meth:`register_sql`).
+        The DE-9IM forms become cell-cover prefilter + native/Arrow refine
+        via :func:`operators.spatial_join.spatial_join` (boundary excluded
+        for contains/within, included for intersects/covers); ``st_dwithin``
+        becomes :func:`operators.proximity.proximity_join` (buffered-cover
+        prefilter + exact native haversine — meters on the sphere, the
+        reference's DWITHIN semantics). Unrecognized conjuncts are applied
+        unchanged as native ``filter`` expressions (register the UDFs via
+        :meth:`register_sql` for those).
         """
-        import re
+        from .planner_rules import rewrite_spatial_predicate
 
-        from .operators.spatial_join import spatial_join
-
-        geom_first = re.compile(
-            r"^st_(intersects|contains)\s*\(\s*st_geomFromWKT\s*\(\s*'([^']+)'\s*\)\s*,"
-            r"\s*st_makePoint\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*\)$",
-            re.IGNORECASE,
-        )
-        point_first = re.compile(
-            r"^st_(within|intersects)\s*\(\s*st_makePoint\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*,"
-            r"\s*st_geomFromWKT\s*\(\s*'([^']+)'\s*\)\s*\)$",
-            re.IGNORECASE,
-        )
-
-        def split_conjuncts(s: str) -> list[str]:
-            out, depth, cur = [], 0, []
-            tokens = re.split(r"(\(|\)|\bAND\b)", s, flags=re.IGNORECASE)
-            for t in tokens:
-                if t == "(":
-                    depth += 1
-                elif t == ")":
-                    depth -= 1
-                elif depth == 0 and t.upper().strip() == "AND":
-                    out.append("".join(cur).strip())
-                    cur = []
-                    continue
-                cur.append(t)
-            out.append("".join(cur).strip())
-            return [c for c in out if c]
-
-        for i, conj in enumerate(split_conjuncts(predicate)):
-            m = geom_first.match(conj)
-            if m:
-                pred, wkt, lon, lat = m.group(1), m.group(2), m.group(3), m.group(4)
-            else:
-                m = point_first.match(conj)
-                if m:
-                    pred, lon, lat, wkt = (
-                        m.group(1), m.group(2), m.group(3), m.group(4),
-                    )
-            if m:
-                df = spatial_join(
-                    df, {f"__q{i}": wkt}, lon=lon, lat=lat,
-                    include_boundary=pred.lower() == "intersects",
-                ).drop("poly_id")
-            else:
-                df = df.filter(conj)
-        return df
+        return rewrite_spatial_predicate(df, predicate)

@@ -80,3 +80,59 @@ def test_where_spatial_interception(spark):
     }
     got2 = {r.image_id for r in out2.collect()}
     assert got2 <= all_inside and len(got2) > 0
+
+
+def test_where_spatial_bbox_and_dwithin_forms(spark):
+    """Round-3 broadening (VERDICT #8): st_makeBBOX literals and st_dwithin
+    rewrite to index-backed operators; parity vs plain-SQL semantics."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.engine import Engine
+    from geomesa_spark.sources import images as src
+
+    eng = Engine(spark)
+    pdf = src.generate_batch(np.arange(3000))[["image_id", "lon", "lat", "w"]]
+    df = spark.createDataFrame(pdf)
+
+    # bbox constructor form -> cell-cover join, no python UDF in plan
+    out = eng.where_spatial(
+        df, "st_intersects(st_makeBBOX(-74.6, 40.2, -73.4, 41.2), "
+            "st_makePoint(lon, lat))"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("extended")
+    assert "ArrowEvalPython" not in buf.getvalue()
+    got = {r.image_id for r in out.collect()}
+    expect = {
+        r.image_id
+        for r in df.filter(
+            (F.col("lon") >= -74.6) & (F.col("lon") <= -73.4)
+            & (F.col("lat") >= 40.2) & (F.col("lat") <= 41.2)
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+
+    # st_dwithin (meters, either argument order) -> proximity join rewrite
+    from geomesa_spark.operators.proximity import haversine_sql
+
+    for pred in (
+        "st_dwithin(st_geomFromWKT('POINT(-74.006 40.713)'), "
+        "st_makePoint(lon, lat), 250000)",
+        "st_dwithin(st_makePoint(lon, lat), "
+        "st_geomFromWKT('POINT(-74.006 40.713)'), 250000)",
+    ):
+        out = eng.where_spatial(df, pred)
+        got = {r.image_id for r in out.collect()}
+        expect = {
+            r.image_id
+            for r in df.filter(
+                F.expr(haversine_sql("-74.006", "40.713", "lon", "lat")) <= 250000
+            ).collect()
+        }
+        assert got == expect and len(got) > 0, pred
+    assert "site_id" not in out.columns and "dist_m" not in out.columns

@@ -77,3 +77,53 @@ def test_geometry_join_generated_rid(spark):
     out = geometry_join(df, POLYS, geom_col="geom").toPandas()
     assert set(out.columns) == {"geom", "tag", "poly_id"}
     assert set(out["poly_id"]) == {"west"}  # box(0..1) is west of east's x>=5
+
+
+def test_geometry_join_time_semantics_and_pruning(spark):
+    """XZ3 analog: (bbox cell, epoch bin) keys. Semantics: a row joins a
+    polygon iff it intersects spatially AND its ts falls in the polygon's
+    window. Pruning: rows in epochs the window never touches produce ZERO
+    candidate pairs (they are filtered by the join key, not by a refine)."""
+    import numpy as np
+    from geomesa_spark.operators.geometry_join import (
+        _geom_time_candidates,
+        geometry_join_time,
+    )
+
+    week = 604_800
+    t0 = 1_704_067_200  # 2024-01-01, epoch-aligned enough for bins
+    pdf = pd.DataFrame(
+        {
+            "gid": ["a", "b", "c", "d"],
+            "geom": [
+                to_wkb(box(-10, -10, -8, -8)),   # in west, week 0
+                to_wkb(box(-10, -10, -8, -8)),   # in west, week 5 (outside)
+                to_wkb(box(11, 2, 13, 4)),       # in east only, week 1
+                to_wkb(box(60, 60, 61, 61)),     # in neither
+            ],
+            "ts_s": [
+                float(t0 + 3 * 86400),
+                float(t0 + 5 * week + 3600),
+                float(t0 + week + 86400),
+                float(t0),
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    windows = {
+        "west": (float(t0), float(t0 + 2 * week)),       # weeks 0-1
+        "east": (float(t0 + week), float(t0 + 2 * week)),  # week 1 only
+    }
+    out = geometry_join_time(
+        df, POLYS, windows, geom_col="geom", ts="ts_s", row_id="gid"
+    ).toPandas()
+    got = set(zip(out["gid"], out["poly_id"]))
+    assert got == {("a", "west"), ("c", "east")}
+
+    # pruning assertion: row b (week 5) must not even become a candidate
+    cand, rows2, rid, _, _ = _geom_time_candidates(
+        df, POLYS, windows, "geom", "ts_s", "gid", 8, week, 2048
+    )
+    cpdf = cand.toPandas()
+    assert "b" not in set(cpdf["gid"])       # epoch-bin key pruned it
+    assert ("a") in set(cpdf["gid"])         # same geometry, in-window week
