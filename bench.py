@@ -31,10 +31,12 @@ BENCH_QUERIES = [
     "geo_tile_density",
     "geo_timebin_cells",
     "geo_knn",
+    "geo_knn_table",
     "geo_track_segments",
     "tpch_q1",
     "join_revenue_by_nation",
     "dedup_exact",
+    "minhash_pairs_banded",
     "text_quality",
     "ann_cosine",
 ]
@@ -104,7 +106,7 @@ def run_flagship(spark, n_images: int, reps: int = 2) -> dict:
     }
 
 
-SKEW_N = 4_000_000
+SKEW_N = 8_000_000
 SKEW_REPS = 3
 
 
@@ -158,16 +160,17 @@ def run_skew(spark, n_images: int = SKEW_N) -> dict:
     out = {}
     for name, kw in arms.items():
         rows = spatial_join(imgs, polys, **kw).count()  # warmup
-        samples = []
-        for _ in range(SKEW_REPS):
+        out[name] = {"samples": [], "rows": rows}
+    # INTERLEAVED rep rounds: host capacity drifts between measurement
+    # windows, so sequential per-arm blocks can flip a comparison on drift
+    # alone; round-robin puts every arm in every window
+    for _ in range(SKEW_REPS):
+        for name, kw in arms.items():
             t0 = _t.time()
             spatial_join(imgs, polys, **kw).count()
-            samples.append(round(_t.time() - t0, 3))
-        out[name] = {
-            "seconds": statistics.median(samples),
-            "samples": samples,
-            "rows": rows,
-        }
+            out[name]["samples"].append(round(_t.time() - t0, 3))
+    for name in arms:
+        out[name]["seconds"] = statistics.median(out[name]["samples"])
     imgs.unpersist()
     assert (
         out["broadcast"]["rows"]

@@ -63,24 +63,94 @@ def _poly31_mod32(shingles: list[str]) -> np.ndarray:
 
 
 def _shingles(text: str, n: int) -> np.ndarray:
-    """Hashed shingle set (uint64 of 32-bit values) for signatures."""
-    return _poly31_mod32(_char_shingles(text, n))
+    """Hashed shingle set (uint64 of 32-bit values) for signatures —
+    VECTORIZED equivalent of ``_poly31_mod32(_char_shingles(text, n))``:
+    codepoint windows via stride tricks, distinct-by-STRING via row-unique
+    (so poly31 collisions between different shingles still contribute one
+    hash each, exactly like the scalar path and the SQL oracles), then one
+    matrix multiply by the 31-powers. ~30x faster than the per-char Python
+    fold that made the banded minhash bench entry take 24 s at sf0.1."""
+    t = _normalize(text)
+    cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    if len(cp) == 0:
+        return np.zeros(1, dtype=np.uint64)  # poly31('') == 0
+    if len(cp) < n:
+        win = cp[None, :]
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(cp, n)
+    uniq = np.unique(win, axis=0).astype(np.uint64)
+    width = uniq.shape[1]
+    powers = np.uint64(31) ** np.arange(width - 1, -1, -1, dtype=np.uint64)
+    # max term ~ 0x10FFFF * 31^4 < 2^41, sum of <=8 < 2^44: no uint64 wrap
+    return (uniq * powers).sum(axis=1) & np.uint64(0xFFFFFFFF)
+
+
+def _window_hashes(text: str, n: int) -> np.ndarray:
+    """Like :func:`_shingles` but WITHOUT the distinct step: the minhash
+    signature is a min over hash values, which duplicates cannot change, so
+    the row-unique sort (the dominant cost of _shingles — ~2.1 s of a 2.9 s
+    pass over 5000 sf0.1 docs) is pure waste on the minhash path. Simhash
+    keeps _shingles: its per-bit VOTES count each distinct shingle string
+    once, so dedup there is semantic, not cosmetic."""
+    t = _normalize(text)
+    cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    if len(cp) == 0:
+        return np.zeros(1, dtype=np.uint64)
+    if len(cp) < n:
+        win = cp[None, :].astype(np.uint64)
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(cp, n).astype(np.uint64)
+    powers = np.uint64(31) ** np.arange(win.shape[1] - 1, -1, -1, dtype=np.uint64)
+    return (win * powers).sum(axis=1) & np.uint64(0xFFFFFFFF)
+
+
+def _split_small_input(df: DataFrame) -> DataFrame:
+    """Repartition tiny inputs to the session parallelism before a signature
+    UDF: a small-SF parquet arrives as ONE file split, which would serialize
+    the whole Arrow stage on one core (measured: the entire sf0.1 minhash
+    pipeline ran single-task). At production scale inputs carry natural
+    splits and this is a no-op."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def minhash_signature_udf(num_hashes: int = 64, shingle_n: int = 5):
-    """Arrow-batched UDF: text -> array<long> minhash signature."""
+    """Arrow-batched UDF: text -> array<long> minhash signature.
+
+    The (a*x + b) mod p sweep runs over ALL the batch's shingles at once
+    (chunked to ~64k shingles so the (num_hashes, chunk) temporary stays
+    ~32 MB) with per-document minima via ``np.minimum.reduceat`` — one big
+    numpy op instead of one small matrix per document (measured 6.4 s ->
+    ~0.6 s per 5000-doc pass at sf0.1). The arithmetic wraps in uint64
+    exactly like the per-doc form, so signatures — and the SQL oracle that
+    replays them — are unchanged."""
     rng = np.random.default_rng(42)
     a = rng.integers(1, _HASH_PRIME, num_hashes, dtype=np.int64).astype(np.uint64)
     b = rng.integers(0, _HASH_PRIME, num_hashes, dtype=np.int64).astype(np.uint64)
+    p = np.uint64(_HASH_PRIME)
+    chunk_target = 65_536
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            sh = _shingles(t or "", shingle_n)
-            # (a*x + b) mod p, min per hash fn; uint64 overflow-safe via object->mod
-            vals = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(_HASH_PRIME)
-            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        shs = [_window_hashes(t or "", shingle_n) for t in texts]
+        out: list = []
+        i = 0
+        while i < len(shs):
+            j, tot = i, 0
+            while j < len(shs) and (tot == 0 or tot + len(shs[j]) <= chunk_target):
+                tot += len(shs[j])
+                j += 1
+            flat = np.concatenate(shs[i:j])
+            lens = np.fromiter((len(s) for s in shs[i:j]), dtype=np.int64)
+            vals = (flat[None, :] * a[:, None] + b[:, None]) % p
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(vals, offsets, axis=1)
+            out.extend(mins.T.astype(np.int64).tolist())
+            i = j
         return pd.Series(out)
 
     return sig
@@ -149,9 +219,9 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature_udf(num_hashes, shingle_n)
-    with_sig = df.select(F.col(id_col), F.col(text_col)).withColumn(
-        "__sig", sig(F.col(text_col))
-    )
+    with_sig = _split_small_input(
+        df.select(F.col(id_col), F.col(text_col))
+    ).withColumn("__sig", sig(F.col(text_col)))
 
     band_cols = [
         F.struct(
@@ -214,7 +284,7 @@ def simhash64(text: str, shingle_n: int = 4) -> int:
     bit-for-bit from the raw text): distinct char n-grams -> 32-bit poly31
     shingle hash -> splitmix64 to 64 mixed bits -> per-bit majority vote
     (ties -> 1, i.e. bit b set iff 2*count_b >= n_shingles)."""
-    hs = _poly31_mod32(_char_shingles(text, shingle_n))
+    hs = _shingles(text, shingle_n)
     x = splitmix64_np(hs)
     bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
@@ -265,7 +335,7 @@ def simhash_pairs(
     popcount verify is native bit_count — no UDF past the signature stage."""
     n_chunks = min(max_hamming + 1, 64)
     sh = simhash_udf()
-    with_h = df.select(id_col, text_col).withColumn(
+    with_h = _split_small_input(df.select(id_col, text_col)).withColumn(
         "__sh", sh(F.col(text_col))
     ).select(id_col, "__sh")
 
