@@ -252,15 +252,42 @@ def minhash_lsh_pairs(
     )
 
     texts = df.select(F.col(id_col), F.col(text_col))
-    jac = jaccard_udf(shingle_n)
-    verified = (
+    joined = (
         cand.join(texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "__ta"), "id_a")
         .join(texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "__tb"), "id_b")
-        .withColumn("jaccard", jac(F.col("__ta"), F.col("__tb")))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
+    # exact verify + threshold in ONE mapInPandas stage: a filter on a
+    # pandas-UDF column gets collapsed by the optimizer into Filter AND
+    # Project operators that EACH extract the UDF — the round-3 plan audit
+    # showed the exact-Jaccard verify evaluated twice per candidate. Doing
+    # the filter inside the batch also keeps below-threshold pairs (the vast
+    # majority) out of the Arrow return path entirely.
+    id_type = dict(joined.dtypes)["id_a"]
+    thr = float(jaccard_threshold)
+
+    def verify(batches):
+        for pdf in batches:
+            cache: dict[str, frozenset] = {}
+
+            def sh(t: str) -> frozenset:
+                s = cache.get(t)
+                if s is None:
+                    s = frozenset(_char_shingles(t, shingle_n))
+                    cache[t] = s
+                return s
+
+            jac = np.empty(len(pdf))
+            for i, (x, y) in enumerate(zip(pdf["__ta"], pdf["__tb"])):
+                s1, s2 = sh(x or ""), sh(y or "")
+                inter = len(s1 & s2)
+                u = len(s1) + len(s2) - inter
+                jac[i] = inter / u if u else 1.0
+            out = pdf[["id_a", "id_b"]].assign(jaccard=np.round(jac, 6))
+            yield out[out["jaccard"] >= thr]
+
+    return joined.mapInPandas(
+        verify, schema=f"id_a {id_type}, id_b {id_type}, jaccard double"
+    )
 
 
 _SPLITMIX_C1 = 0x9E3779B97F4A7C15

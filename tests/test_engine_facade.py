@@ -136,3 +136,39 @@ def test_where_spatial_bbox_and_dwithin_forms(spark):
         }
         assert got == expect and len(got) > 0, pred
     assert "site_id" not in out.columns and "dist_m" not in out.columns
+
+
+def test_where_spatial_parser_edges(spark):
+    """Parser robustness: quoted WKT containing parens and the word AND,
+    nested constructors, and malformed spatial conjuncts falling back to
+    residual native filters (which then fail loudly if unregistered)."""
+    import numpy as np
+
+    from geomesa_spark.engine import Engine
+    from geomesa_spark.planner_rules import split_conjuncts
+    from geomesa_spark.sources import images as src
+
+    # WKT with parens + 'AND' inside quotes must not split
+    pred = (
+        "st_intersects(st_geomFromWKT('POLYGON((0 0, 5 0, 5 5, 0 5, 0 0))'), "
+        "st_makePoint(lon, lat)) AND w >= 8"
+    )
+    parts = split_conjuncts(pred)
+    assert len(parts) == 2 and parts[1] == "w >= 8"
+
+    eng = Engine(spark)
+    pdf = src.generate_batch(np.arange(500))[["image_id", "lon", "lat", "w"]]
+    df = spark.createDataFrame(pdf)
+    out = eng.where_spatial(df, pred)
+    got = out.toPandas()
+    assert ((got.lon >= 0) & (got.lon <= 5) & (got.lat >= 0) & (got.lat <= 5)).all()
+    assert (got.w >= 8).all()
+
+    # non-literal geometry argument -> NOT intercepted -> residual filter
+    # (needs registered UDFs; with them, parity with the rewrite holds)
+    eng.register_sql()
+    out2 = eng.where_spatial(
+        df, "st_intersects(st_geomFromWKT(concat('POINT(0', ' 0)')), "
+            "st_makePoint(lon, lat))"
+    )
+    assert out2.count() == 0  # no image exactly at (0,0)
