@@ -1741,6 +1741,41 @@ FROM cells GROUP BY poly_id
 """
 
 
+IMG_RESIZE = 16  # output side of the resize op (16x16 thumbnails)
+
+
+def q_img_resize(spark, sf_dir):
+    """Multimodal resize op (training-pipeline preprocessing): decode ->
+    nearest-neighbor 16x16 thumbnail -> integer gray checksum, one
+    mapInPandas stage. Restricted to the LOSSLESS formats so the DuckDB
+    oracle can replay the exact sampled pixels from regenerated images
+    (lossy fmts are covered by the PSNR-bounded pytest parity instead)."""
+    from .operators.raster import resize_images
+    from .sources.images import images_df
+
+    imgs = images_df(spark, _img_n(spark, sf_dir)).filter(
+        F.col("fmt").isin("raw", "png")
+    )
+    out = resize_images(imgs, IMG_RESIZE, IMG_RESIZE)
+    return out.select("image_id", "gray_sum")
+
+
+def _oracle_img_resize():
+    from .oracle_sql import images_pixel_gray_ctes
+
+    t = IMG_RESIZE
+    return f"""
+WITH {images_pixel_gray_ctes(IMG_N)},
+sel AS (SELECT i.id, i.image_id, (tr.r * i.h) // {t} AS sr, (tc.c * i.w) // {t} AS sc
+        FROM imgs i, (SELECT unnest(range(0, {t})) AS r) tr,
+             (SELECT unnest(range(0, {t})) AS c) tc
+        WHERE i.fmt IN ('raw', 'png'))
+SELECT s.image_id, CAST(sum(g.g) AS BIGINT) AS gray_sum
+FROM sel s JOIN grayrc g ON g.id = s.id AND g.r = s.sr AND g.c = s.sc
+GROUP BY s.image_id
+"""
+
+
 def q_img_phash_buckets(spark, sf_dir):
     """Near-dup image buckets by phash prefix (hamming-LSH chunk, top 16
     bits). The oracle regenerates every image's PIXELS in SQL and recomputes
@@ -1821,4 +1856,5 @@ QUERIES = {
     "img_tile_density": (q_img_tile_density, _oracle_img_tile_density()),
     "img_density_scan": (q_img_density_scan, _oracle_img_density_scan()),
     "img_phash_buckets": (q_img_phash_buckets, _oracle_img_phash_buckets()),
+    "img_resize": (q_img_resize, _oracle_img_resize()),
 }

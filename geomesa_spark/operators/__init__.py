@@ -2,11 +2,12 @@
 
 from .dedup import exact_dedup, minhash_lsh_pairs, simhash64, simhash_pairs  # noqa: F401
 from .density import cell_density, density  # noqa: F401
-from .geometry_join import geometry_join  # noqa: F401
+from .geometry_join import geometry_join, geometry_join_time  # noqa: F401
 from .hull import convex_hull, convex_hull_vertices  # noqa: F401
 from .knn import knn_join, knn_join_table  # noqa: F401
 from .proximity import lookup_join, proximity_join  # noqa: F401
-from .raster import tile_assignments, tile_density  # noqa: F401
+from .media import audio_features, video_frame_sample  # noqa: F401
+from .raster import resize_images, tile_assignments, tile_density  # noqa: F401
 from .sampling import sample_fraction, sample_nth  # noqa: F401
 from .spatial_join import prepare_polygons, spatial_join  # noqa: F401
 from .stats import run_stats  # noqa: F401

@@ -104,3 +104,58 @@ def tile_density(images: DataFrame, res: int = 18, pixel_pitch_deg: float = 1e-5
         F.sum("weight").alias("weight"),
         F.countDistinct("image_id").alias("n_images"),
     )
+
+
+def resize_images(
+    images: DataFrame,
+    out_w: int,
+    out_h: int,
+) -> DataFrame:
+    """Nearest-neighbor image resize — the multimodal preprocessing op a
+    training pipeline runs before feature extraction. One mapInPandas stage:
+    decode -> integer-index resample -> re-emit as raw RGB plus an
+    integer-exact gray checksum.
+
+    -> (image_id, bytes raw-RGB at out_w x out_h, w, h, fmt='raw',
+    gray_sum = sum over resized pixels of 299R + 587G + 114B).
+
+    The source index math is pure integers — sr = (r * h) // out_h,
+    sc = (c * w) // out_w — so the sampling (and the checksum) is replayable
+    exactly by the SQL oracle from regenerated pixels, independent of float
+    rounding and aggregation order.
+    """
+    needed = images.select("image_id", "bytes", "w", "h", "fmt")
+    ow, oh = int(out_w), int(out_h)
+
+    def rz(batches):
+        for pdf in batches:
+            ids, bufs, gs = [], [], []
+            for row in pdf.itertuples(index=False):
+                arr = decode_image(row.bytes, row.fmt, row.w, row.h)
+                h, w = arr.shape[:2]
+                sr = (np.arange(oh, dtype=np.int64) * h) // oh
+                sc = (np.arange(ow, dtype=np.int64) * w) // ow
+                rs = arr[sr[:, None], sc[None, :]]
+                g = (
+                    299 * rs[..., 0].astype(np.int64)
+                    + 587 * rs[..., 1].astype(np.int64)
+                    + 114 * rs[..., 2].astype(np.int64)
+                ).sum()
+                ids.append(row.image_id)
+                bufs.append(rs.tobytes())
+                gs.append(int(g))
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "bytes": bufs,
+                    "w": np.full(len(ids), ow, dtype=np.int32),
+                    "h": np.full(len(ids), oh, dtype=np.int32),
+                    "fmt": ["raw"] * len(ids),
+                    "gray_sum": np.array(gs, dtype=np.int64),
+                }
+            )
+
+    return needed.mapInPandas(
+        rz,
+        schema="image_id string, bytes binary, w int, h int, fmt string, gray_sum long",
+    )

@@ -144,7 +144,8 @@ def images_pixel_gray_ctes(n: int) -> str:
     """CTE chain regenerating every image's PIXELS and 8x8 gray block sums
     from ids alone, mirroring images.py pixels_of + functions.image.phash64:
     ... imgs -> par (per-image wave params) -> noise (8x8 structured noise)
-    -> px (pixel grid) -> gray (integer fixed-point gray + block index)
+    -> px (pixel grid) -> grayrc (integer fixed-point gray per (r, c);
+    reused by the resize oracle) -> gray (gray + block index)
     -> blocks(id, rb, cb, s, a) -> tot(id, st, n).
 
     The only float steps are the sin/cos/u01 pixel values, truncated to
@@ -168,13 +169,14 @@ px AS (SELECT p.id, r.r, c.c, p.w, p.h, p.fx, p.fy, p.ph
 pxn AS (SELECT px.*, n.nv FROM px JOIN noise n ON n.id = px.id
          AND n.cell = least(CAST(floor((CAST(px.r AS DOUBLE) * 8) / px.h) AS BIGINT), 7) * 8
                     + least(CAST(floor((CAST(px.c AS DOUBLE) * 8) / px.w) AS BIGINT), 7)),
-gray AS (SELECT id, (r * 8) // h AS rb, (c * 8) // w AS cb,
+grayrc AS (SELECT id, r, c, w, h,
    299 * CAST(floor(least(greatest(
      127.5 + 60.0 * sin(6.283185307179586 * fx * c / w + ph)
            + 60.0 * cos(6.283185307179586 * fy * r / h) + nv, 0.0), 255.0)) AS BIGINT)
  + 587 * CAST(floor(least(greatest(255.0 * c / greatest(w - 1, 1) + nv, 0.0), 255.0)) AS BIGINT)
  + 114 * CAST(floor(least(greatest(255.0 * r / greatest(h - 1, 1) + nv, 0.0), 255.0)) AS BIGINT) AS g
    FROM pxn),
+gray AS (SELECT id, (r * 8) // h AS rb, (c * 8) // w AS cb, g FROM grayrc),
 blocks AS (SELECT id, rb, cb, sum(g) AS s, count(*) AS a FROM gray GROUP BY 1, 2, 3),
 tot AS (SELECT id, sum(s) AS st, sum(a) AS n FROM blocks GROUP BY 1)"""
 
