@@ -149,12 +149,73 @@ def _mark_entries(head: _Node, other: Geometry, forward_inside: bool) -> None:
             entry = not entry
 
 
+def _box_of(g: Geometry):
+    """(x0, y0, x1, y1) if ``g`` is a single-ring axis-aligned rectangle."""
+    if g.kind != "Polygon" or len(g.coords) != 1:
+        return None
+    r = _ring(g)
+    if len(r) != 4:
+        return None
+    x0, x1 = float(r[:, 0].min()), float(r[:, 0].max())
+    y0, y1 = float(r[:, 1].min()), float(r[:, 1].max())
+    corners = {(x0, y0), (x0, y1), (x1, y0), (x1, y1)}
+    return (x0, y0, x1, y1) if {(float(x), float(y)) for x, y in r} == corners else None
+
+
+def _box_geom(x0, y0, x1, y1) -> Geometry:
+    return _poly(np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1)]))
+
+
+def _box_overlay(a, b, op: str) -> Geometry | None:
+    """Closed-form overlay for axis-aligned rectangles — exact for EVERY
+    degenerate configuration (shared edges, corner touches) that the generic
+    Greiner–Hormann path documents as out of scope. Zero-area results
+    (edge/corner touches) return None."""
+    ax0, ay0, ax1, ay1 = a
+    bx0, by0, bx1, by1 = b
+    ox0, oy0 = max(ax0, bx0), max(ay0, by0)
+    ox1, oy1 = min(ax1, bx1), min(ay1, by1)
+    overlap = ox0 < ox1 and oy0 < oy1
+    if op == "int":
+        return _box_geom(ox0, oy0, ox1, oy1) if overlap else None
+    if not overlap:
+        return _box_geom(ax0, ay0, ax1, ay1)
+    if bx0 <= ax0 and by0 <= ay0 and bx1 >= ax1 and by1 >= ay1:
+        return None  # b covers a
+    if bx0 > ax0 and by0 > ay0 and bx1 < ax1 and by1 < ay1:
+        # strict interior: polygon with a hole (JTS shape parity)
+        shell = tuple(_box_geom(ax0, ay0, ax1, ay1).coords[0])
+        hole = tuple(_box_geom(bx0, by0, bx1, by1).coords[0])
+        return Geometry("Polygon", (shell, hole))
+    pieces = []
+    if by0 > ay0:
+        pieces.append((ax0, ay0, ax1, by0))
+    if by1 < ay1:
+        pieces.append((ax0, by1, ax1, ay1))
+    if bx0 > ax0:
+        pieces.append((ax0, oy0, bx0, oy1))
+    if bx1 < ax1:
+        pieces.append((bx1, oy0, ax1, oy1))
+    pieces = [p for p in pieces if p[0] < p[2] and p[1] < p[3]]
+    if not pieces:
+        return None
+    if len(pieces) == 1:
+        return _box_geom(*pieces[0])
+    return Geometry(
+        "MultiPolygon", tuple(_box_geom(*p).coords for p in pieces)
+    )
+
+
 def polygon_overlay(a: Geometry, b: Geometry, op: str) -> Geometry | None:
     """Polygon intersection ('int') or difference ('diff') of simple
     hole-free polygons. Returns Polygon, MultiPolygon, or None for an empty
-    result. Degenerate overlays (collinear shared edges) resolve through the
-    containment fall-backs."""
+    result. Axis-aligned rectangle pairs take an exact closed-form path
+    (robust to shared edges / corner touches); general degenerate overlays
+    (collinear shared edges) resolve through the containment fall-backs."""
     assert op in ("int", "diff")
+    ba, bb = _box_of(a), _box_of(b)
+    if ba is not None and bb is not None:
+        return _box_overlay(ba, bb, op)
     ra, rb = _ring(a), _ring(b)
     sub = _build_list(ra)
     clp = _build_list(rb)
