@@ -851,6 +851,43 @@ def _oracle_text_langid():
     )
 
 
+FP_WINDOW = 16
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (winnowing-lite) under the oracle
+    gate: min rolling polynomial hash over codepoint windows. The fixture's
+    documents are all longer than the window, so the driver exercises the
+    full rolling path; the whole-string short branch is pytest-covered."""
+    from .functions.text import fingerprint_udf
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    fp = fingerprint_udf(FP_WINDOW)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        fp(F.col("text")).alias("fp"),
+    )
+
+
+def _oracle_text_fingerprint():
+    from .functions.text import fingerprint_weights
+
+    w = FP_WINDOW
+    weights = fingerprint_weights(w)
+    terms = " + ".join(
+        f"unicode(substr(tt, i + {k}, 1)) * CAST('{weights[k]}' AS HUGEINT)"
+        for k in range(w)
+    )
+    m64 = 1 << 64
+    m63 = 1 << 63
+    return f"""
+WITH t AS (SELECT doc_id, text AS tt FROM documents),
+win AS (SELECT doc_id, tt, unnest(range(1, length(tt) - {w - 2})) AS i FROM t),
+h AS (SELECT doc_id, CAST((({terms}) % {m64}) % {m63} AS BIGINT) AS hv FROM win)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, min(hv) AS fp FROM h GROUP BY 1
+"""
+
+
 def q_lang_stats(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
@@ -1837,6 +1874,7 @@ QUERIES = {
     "text_quality": (q_text_quality, _oracle_text_quality()),
     "text_langid": (q_text_langid, _oracle_text_langid()),
     "lang_stats": (q_lang_stats, _oracle_lang_stats()),
+    "text_fingerprint": (q_text_fingerprint, _oracle_text_fingerprint()),
     "embed_norms": (q_embed_norms, _oracle_embed_norms()),
     "ann_cosine": (q_ann_cosine, _oracle_ann_cosine()),
     "embed_neardup": (q_embed_neardup, _oracle_embed_neardup_lsh()),

