@@ -51,3 +51,22 @@ def test_spark_submit_with_pyfiles(tmp_path):
     assert lines, f"no result line; stderr tail: {proc.stderr[-1500:]}"
     res = json.loads(lines[-1][len("SUBMITRESULT "):])
     assert res["n_images"] > 0 and res["n_tiles"] > 0
+
+
+def test_dist_zip_is_fresh():
+    """dist/geomesa_spark.zip must contain every module of the package —
+    a stale deployment artifact (round-3 caught jpeg/av/media missing) is a
+    silent prod failure at spark-submit time."""
+    import os
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(root, "dist", "geomesa_spark.zip")
+    names = set(zipfile.ZipFile(zpath).namelist())
+    for dirpath, _d, files in os.walk(os.path.join(root, "geomesa_spark")):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in files:
+            if fn.endswith(".py"):
+                rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                assert rel.replace(os.sep, "/") in names, f"stale zip: {rel}"
