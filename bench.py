@@ -433,6 +433,14 @@ def run_scaling(n_images: int = 1_200_000,
             "clocks) rather than loading one oversubscribed socket. The 8->32\n"
             "pair is published unredacted with its control for transparency:\n"
             "the engine tracks the hardware ceiling (ratio ~1.0) there too.\n"
+            "\n## Cross-round comparability (round 3)\n\n"
+            "- Every default bench run emits ``control_sec`` (no-Spark kernel,\n"
+            "  mp.Pool(8), 50k images, warmup + median of 3). Host capacity\n"
+            "  drifts +/-2x between windows; divide bench totals by their\n"
+            "  run's control before comparing rounds.\n"
+            "- Round 3 added bench entries (geo_knn_table, banded minhash,\n"
+            "  unsalted skew arm), growing the total by construction —\n"
+            "  per-query timings are the comparable unit, not the sum.\n"
         )
     print(json.dumps(report))
     return report

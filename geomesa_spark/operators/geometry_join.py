@@ -112,14 +112,15 @@ def _geom_time_candidates(
     for pid, (t0, t1) in time_windows.items():
         bins = np.arange(int(t0 // period_s), int((t1 - 1e-9) // period_s) + 1)
         sub = cover_pdf[cover_pdf["poly_id"] == pid]
-        if len(bins) * max(len(sub), 1) > 4 * max_cells:
-            # cover budget applies to the (cell x bin) product too — a
-            # years-long window at a fine period would bloat the broadcast
-            # side (the reference's range budget covers bins the same way,
-            # Z3IndexKeySpace.scala:162-190 splits the target across bins)
+        if len(bins) * max(len(sub), 1) > 2_000_000:
+            # the (cell x bin) product is the BROADCAST side — cap it at the
+            # same limit the point join uses for its cover (a years-long
+            # window at a fine period would bloat it; the reference's range
+            # budget likewise splits its target across bins,
+            # Z3IndexKeySpace.scala:162-190)
             raise ValueError(
                 f"time window for {pid!r} spans {len(bins)} bins x "
-                f"{len(sub)} cells > budget {4 * max_cells}; use a coarser "
+                f"{len(sub)} cells > 2e6 broadcast budget; use a coarser "
                 f"period_s or res_j"
             )
         if not len(sub) or not len(bins):
