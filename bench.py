@@ -433,6 +433,11 @@ def run_scaling(n_images: int = 1_200_000,
             "clocks) rather than loading one oversubscribed socket. The 8->32\n"
             "pair is published unredacted with its control for transparency:\n"
             "the engine tracks the hardware ceiling (ratio ~1.0) there too.\n"
+            "\n### Reading raw vs control\n\n"
+            "The control is a bare kernel with zero scheduler overhead; at\n"
+            "small N Spark's fixed per-level costs depress the N-level\n"
+            "throughput, which can push RAW efficiency above the hardware\n"
+            "control. Read the pair of numbers together.\n"
             "\n## Cross-round comparability (round 3)\n\n"
             "- Every default bench run emits ``control_sec`` (no-Spark kernel,\n"
             "  mp.Pool(8), 50k images, warmup + median of 3). Host capacity\n"

@@ -16,12 +16,11 @@ Reference parity:
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..core.geometry import buffer_point_deg
-from .spatial_join import prepare_polygons, spatial_join
+from .spatial_join import spatial_join
 
 EARTH_RADIUS_M = 6371008.8
 

@@ -21,8 +21,6 @@ proves no boundary flip occurs for the fixed driver inputs.
 
 from __future__ import annotations
 
-import numpy as np
-
 _C1 = 0x9E3779B97F4A7C15
 _C2 = 0xBF58476D1CE4E5B9
 _C3 = 0x94D049BB133111EB

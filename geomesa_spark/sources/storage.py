@@ -21,7 +21,6 @@ matching directories are listed or read. On Iceberg the same columns become
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..core import cells
