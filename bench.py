@@ -395,8 +395,9 @@ def run_scaling(n_images: int = 1_200_000,
         "local_4n_rows_per_sec": head["rows_per_sec_4n"],
         "pairs": results,
     }
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/scaling_latest.json", "w") as fh:
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "scaling_latest.json"), "w") as fh:
         json.dump(report, fh, indent=1)
     rows = "\n".join(
         f"| local[{p['n']}] -> local[{p['n4']}] | {p['rows_per_sec_n']} | "
@@ -404,7 +405,7 @@ def run_scaling(n_images: int = 1_200_000,
         f"{p['control_efficiency']} | {p['efficiency_samples']} |"
         for p in results.values()
     )
-    with open("BENCH/BASELINE.md", "w") as fh:
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as fh:
         fh.write(
             "# BENCH — scaling evidence (north rule)\n\n"
             "Flagship workload: image+caption parquet table -> fused density scan\n"

@@ -176,9 +176,6 @@ def _blocks_of(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, bh, bw
 
 
-_CAT_LOOKUP = None
-
-
 def _category(v: int) -> int:
     """Magnitude category (bit length of |v|)."""
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
@@ -336,7 +333,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 92) -> bytes:
             if size:
                 bw_.write(diff if diff > 0 else diff + (1 << size) - 1, size)
             run = 0
-            last_nz = 0
             nz = np.nonzero(row[1:])[0]
             last_nz = nz[-1] + 1 if len(nz) else 0
             for k in range(1, last_nz + 1):
@@ -476,14 +472,19 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     nblocks = bh * bw
     reader = _BitReader(entropy)
     coefs = [np.zeros((nblocks, 64), dtype=np.int32) for _ in comps]
-    dc_tabs, ac_tabs = [], []
-    for cid, td, ta in scan_comps:
-        dc_tabs.append(htables[td])
-        ac_tabs.append(htables[0x10 | ta])
+    # match scan components to frame components BY ID — SOS may list them in
+    # a different order than SOF; non-interleaved scans (ns < nf) are out of
+    # scope and asserted
+    assert len(scan_comps) == len(comps), "interleaved single scan only"
+    cid_to_idx = {cid: i for i, (cid, _tq) in enumerate(comps)}
+    scan_order = [
+        (cid_to_idx[cid], htables[td], htables[0x10 | ta])
+        for cid, td, ta in scan_comps
+    ]
     pred = [0] * len(comps)
     for bi in range(nblocks):
-        for ci in range(len(comps)):
-            (dcv, dcl), (acv, acl) = dc_tabs[ci], ac_tabs[ci]
+        for ci, dc_tab, ac_tab in scan_order:
+            (dcv, dcl), (acv, acl) = dc_tab, ac_tab
             w16 = reader.peek16()
             val = int(dcv[w16])
             reader.skip(int(dcl[w16]))

@@ -282,8 +282,12 @@ def minhash_lsh_pairs(
                 inter = len(s1 & s2)
                 u = len(s1) + len(s2) - inter
                 jac[i] = inter / u if u else 1.0
-            out = pdf[["id_a", "id_b"]].assign(jaccard=np.round(jac, 6))
-            yield out[out["jaccard"] >= thr]
+            # threshold on the UNROUNDED value (the SQL oracles filter the
+            # raw ratio); round only the emitted column
+            keep = jac >= thr
+            yield pdf.loc[keep, ["id_a", "id_b"]].assign(
+                jaccard=np.round(jac[keep], 6)
+            )
 
     return joined.mapInPandas(
         verify, schema=f"id_a {id_type}, id_b {id_type}, jaccard double"

@@ -128,8 +128,16 @@ def _geom_time_candidates(
         rep = sub.loc[sub.index.repeat(len(bins))].reset_index(drop=True)
         rep["wbin"] = np.tile(bins, len(sub))
         frames.append(rep)
-    cov_all = pd.concat(frames, ignore_index=True)
-    cov_all = cov_all[["ccell", "poly_id", "refine", "wbin"]]
+    if frames:
+        cov_all = pd.concat(frames, ignore_index=True)
+        cov_all = cov_all[["ccell", "poly_id", "refine", "wbin"]]
+    else:  # no windows / empty covers: empty candidate set, not a crash
+        cov_all = pd.DataFrame(
+            {"ccell": pd.Series(dtype="int64"),
+             "poly_id": pd.Series(dtype="object"),
+             "refine": pd.Series(dtype="bool"),
+             "wbin": pd.Series(dtype="int64")}
+        )
 
     spark = rows.sparkSession
     gen_rid = row_id is None

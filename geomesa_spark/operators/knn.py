@@ -151,7 +151,10 @@ def knn_join_table(
         # the round's expensive explode+join DAG fans out three ways (per_q
         # agg, resolved-result semi join, next round's anti join) and is also
         # part of the returned lineage — persist it so the remaining.count()
-        # action below materializes it ONCE and the final action reuses it
+        # action below materializes it ONCE and the final action reuses it.
+        # Lifetime note: each round's cache stays referenced by the returned
+        # result's lineage, so it cannot be unpersisted here; blocks are
+        # MEMORY_AND_DISK and LRU-evictable, bounded by max_rounds per call.
         topk = topk.persist()
         if covers_world:
             got = topk.drop("__ql")

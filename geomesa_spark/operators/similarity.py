@@ -270,7 +270,11 @@ def ivf_topk_native(
         / (F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr("__cvec")))
     )
     # argmax by (sim DESC, cid ASC) == min_by over (-sim, cid) — identical
-    # tie-breaking to the SQL oracle's row_number ordering
+    # tie-breaking to the SQL oracle's row_number ordering. NaN guard: a
+    # zero-norm vector yields NaN cosine; pin it to -2 (below any real
+    # cosine) so degenerate centroids are never selected — NaN ordering
+    # would otherwise differ between min_by and the window formulation.
+    csim = F.nanvl(csim, F.lit(-2.0))
     assign = (
         vectors.crossJoin(cent)
         .withColumn("__csim", csim)

@@ -52,7 +52,10 @@ SALT_BUCKETS = 8
 # columns recognized as a row identity for salting (the reference shards by
 # feature id, ShardStrategy.scala:71-79 / WritableFeature.scala:51); falls
 # back to (lon, lat) when none is present
-SALT_ID_CANDIDATES = ("image_id", "event_id", "doc_id", "vec_id", "id", "__fid__")
+# only high-confidence per-row identity names: a generic low-cardinality
+# "id" column (tenant/source fk) would collapse the salt onto few values;
+# pass salt_id_col explicitly for unconventional schemas
+SALT_ID_CANDIDATES = ("image_id", "event_id", "doc_id", "vec_id", "__fid__")
 
 
 @dataclass
