@@ -1115,6 +1115,37 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_ivf_udf(spark, sf_dir):
+    """The UDF-argmax IVF path (ivf_topk — the 100 TB scale shape: the
+    assignment never leaves the map side, no N x C rows exist anywhere)
+    under the SAME oracle as ann_ivf: centroids are the first IVF_C
+    embeddings L2-normalized, so cosine argmax/probing/rerank replay in SQL
+    identically to the native path."""
+    from .operators.similarity import ivf_topk
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    cent_pdf = (
+        emb.filter(F.col("vec_id") < IVF_C)
+        .orderBy("vec_id")
+        .select("embedding")
+        .toPandas()
+    )
+    cent = np.array(cent_pdf["embedding"].tolist(), dtype=np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    queries = (
+        emb.filter(F.col("vec_id") < ANN_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    out = ivf_topk(
+        emb, queries, k=ANN_K, dim=64, n_centroids=IVF_C, n_probe=IVF_PROBE,
+        centroids=cent,
+    )
+    return out.select(
+        F.col("qid").cast("long"), F.col("vec_id").cast("long"),
+        F.col("rnk").cast("int"),
+    )
+
+
 def _oracle_ann_ivf():
     """DuckDB replays the ENTIRE IVF pipeline (deterministic head-sampled
     quantizer, argmax assignment, n_probe lists, exact rerank) — the driver
@@ -1891,6 +1922,7 @@ QUERIES = {
     "simhash_pairs": (q_simhash_pairs, _oracle_simhash_pairs()),
     "ann_lsh": (q_ann_lsh, _oracle_ann_lsh()),
     "ann_ivf": (q_ann_ivf, _oracle_ann_ivf()),
+    "ann_ivf_udf": (q_ann_ivf_udf, _oracle_ann_ivf()),
     "img_tile_density": (q_img_tile_density, _oracle_img_tile_density()),
     "img_density_scan": (q_img_density_scan, _oracle_img_density_scan()),
     "img_phash_buckets": (q_img_phash_buckets, _oracle_img_phash_buckets()),

@@ -351,7 +351,9 @@ def ivf_topk(
     def probe_udf(vs: pd.Series) -> pd.Series:
         X = np.array(vs.tolist(), dtype=np.float64)
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(X @ cent.T), axis=1)[:, :n_probe].astype(np.int32)
+        # stable sort: ties rank by list index ascending, matching the
+        # SQL oracle's (sim DESC, cid ASC) ordering deterministically
+        order = np.argsort(-(X @ cent.T), axis=1, kind="stable")[:, :n_probe].astype(np.int32)
         return pd.Series(list(order))
 
     v = vectors.withColumn("__list", assign_udf(F.col(vec_col)))
