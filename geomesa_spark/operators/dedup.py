@@ -234,9 +234,18 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
+    # Persist the bucket rows (id + band + 64-bit band hash, ~24 B/row)
+    # across the self-join: without it BOTH join sides re-evaluate the
+    # signature UDF — the dominant stage — doubling the text decode+hash
+    # work (measured 15.7 s -> 10.2 s cold at sf0.1). This is the standard
+    # signature materialization of production dedup pipelines: bucket rows
+    # are `bands` short rows per doc (same order of bytes as the text
+    # itself), MEMORY_AND_DISK-spillable, and part of the returned lineage
+    # (so they cannot be unpersisted here; they age out LRU / at session
+    # end, same contract as knn_join_table's per-round persists).
     buckets = with_sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")).persist()
 
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -268,6 +277,11 @@ def minhash_lsh_pairs(
     def verify(batches):
         for pdf in batches:
             cache: dict[str, frozenset] = {}
+            # near-dup-dense corpora repeat the same (text_a, text_b)
+            # contents across many candidate id pairs — memoize the pair
+            # result too, and short-circuit identical texts (Jaccard of a
+            # set with itself is 1.0 without building the sets)
+            pair_cache: dict[tuple[str, str], float] = {}
 
             def sh(t: str) -> frozenset:
                 s = cache.get(t)
@@ -278,10 +292,18 @@ def minhash_lsh_pairs(
 
             jac = np.empty(len(pdf))
             for i, (x, y) in enumerate(zip(pdf["__ta"], pdf["__tb"])):
-                s1, s2 = sh(x or ""), sh(y or "")
-                inter = len(s1 & s2)
-                u = len(s1) + len(s2) - inter
-                jac[i] = inter / u if u else 1.0
+                x, y = x or "", y or ""
+                if x == y:
+                    jac[i] = 1.0
+                    continue
+                v = pair_cache.get((x, y))
+                if v is None:
+                    s1, s2 = sh(x), sh(y)
+                    inter = len(s1 & s2)
+                    u = len(s1) + len(s2) - inter
+                    v = inter / u if u else 1.0
+                    pair_cache[(x, y)] = v
+                jac[i] = v
             # threshold on the UNROUNDED value (the SQL oracles filter the
             # raw ratio); round only the emitted column
             keep = jac >= thr
