@@ -888,6 +888,83 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, min(hv) AS fp FROM h GROUP BY 1
 """
 
 
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_DF = 50
+# 0.3 catches the genuine near-dup band on this corpus (282 pairs at
+# sf0.01, avg overlap 0.395) — not just the exact-dup clusters (25 pairs,
+# all overlap 1.0, already covered by dedup_exact/minhash at J>=0.8)
+WINNOW_MIN_OVERLAP = 0.3
+
+
+def q_text_winnow_pairs(spark, sf_dir):
+    """Winnowing fingerprint-set overlap join (MOSS, Schleimer et al. 2003)
+    under the oracle gate: per-doc k-gram rolling hashes -> sliding-window
+    min selection -> distinct fingerprint set -> doc-frequency guard
+    (boilerplate fingerprints shared by > max_df docs are dropped before the
+    self-join — the hot-key cap) -> fp equi-self-join -> per-pair shared
+    count + containment overlap. The DuckDB oracle replays the ENTIRE
+    pipeline — position hashes via unicode(substr(...)) with the identical
+    257-power weights, the window min as a window function, the guard, the
+    join — so the hash check covers the approximate pipeline itself. The
+    fixture's documents (min 48 chars) all exercise the full rolling path;
+    the short-string whole-window branch is pytest-covered."""
+    from .operators.dedup import winnow_overlap_pairs
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs,
+        kgram=WINNOW_K,
+        window=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        max_df=WINNOW_MAX_DF,
+        min_overlap=WINNOW_MIN_OVERLAP,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        "overlap",
+    )
+
+
+def _oracle_text_winnow_pairs():
+    from .functions.text import fingerprint_weights
+
+    k, w = WINNOW_K, WINNOW_W
+    weights = fingerprint_weights(k)
+    terms = " + ".join(
+        f"unicode(substr(tt, i + {j}, 1)) * CAST('{weights[j]}' AS HUGEINT)"
+        for j in range(k)
+    )
+    m64 = 1 << 64
+    m63 = 1 << 63
+    return f"""
+WITH t AS (SELECT doc_id, text AS tt FROM documents),
+pos AS (SELECT doc_id, tt, unnest(range(1, length(tt) - {k - 2})) AS i FROM t),
+kh AS (SELECT doc_id, i, CAST((({terms}) % {m64}) % {m63} AS BIGINT) AS hv FROM pos),
+wmin AS (SELECT doc_id, i,
+                min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh,
+                count(*) OVER (PARTITION BY doc_id) AS nh
+         FROM kh),
+fps AS (SELECT DISTINCT doc_id, mh AS fp FROM wmin WHERE i <= nh - {w - 1}),
+exf AS (SELECT doc_id, fp FROM fps
+        WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) > {WINNOW_MAX_DF})),
+sizes AS (SELECT doc_id, count(*) AS nfp FROM exf GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ns
+          FROM exf a JOIN exf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED})
+SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+       CAST(ns AS BIGINT) AS n_shared,
+       round(CAST(ns AS DOUBLE) / least(sa.nfp, sb.nfp), 4) AS overlap
+FROM pairs
+JOIN sizes sa ON pairs.ia = sa.doc_id
+JOIN sizes sb ON pairs.ib = sb.doc_id
+WHERE CAST(ns AS DOUBLE) / least(sa.nfp, sb.nfp) >= {WINNOW_MIN_OVERLAP}
+"""
+
+
 def q_lang_stats(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
@@ -1906,6 +1983,7 @@ QUERIES = {
     "text_langid": (q_text_langid, _oracle_text_langid()),
     "lang_stats": (q_lang_stats, _oracle_lang_stats()),
     "text_fingerprint": (q_text_fingerprint, _oracle_text_fingerprint()),
+    "text_winnow_pairs": (q_text_winnow_pairs, _oracle_text_winnow_pairs()),
     "embed_norms": (q_embed_norms, _oracle_embed_norms()),
     "ann_cosine": (q_ann_cosine, _oracle_ann_cosine()),
     "embed_neardup": (q_embed_neardup, _oracle_embed_neardup_lsh()),

@@ -127,3 +127,47 @@ def fingerprint_udf(window: int = 16):
         return pd.Series(out)
 
     return fp
+
+
+def winnow_fingerprints_udf(kgram: int = 8, window: int = 4):
+    """Winnowing fingerprint SET per document (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003
+    — the MOSS algorithm, public literature).
+
+    Per document: the rolling polynomial hash of every ``kgram``-codepoint
+    position (identical recipe + weights as ``fingerprint_udf``, so the
+    DuckDB oracle replays it with ``unicode(substr(...))``), then the MIN of
+    each sliding window of ``window`` consecutive position hashes, then the
+    DISTINCT selected values sorted ascending. Guarantees: any shared
+    substring of length >= kgram + window - 1 contributes at least one
+    shared fingerprint; expected density is 2 / (window + 1) fingerprints
+    per position. Texts shorter than ``kgram`` codepoints fold as one
+    whole-string window (engine-only branch — same contract as
+    ``fingerprint_udf``: the driver fixture's documents are all longer, the
+    short branch is pytest-covered).
+    """
+    mask63 = np.uint64(0x7FFFFFFFFFFFFFFF)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def wf(texts: pd.Series) -> pd.Series:
+        out: list = []
+        for t in texts:
+            cp = np.frombuffer(
+                (t or "").encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            if len(cp) == 0:
+                out.append([])
+                continue
+            k = min(kgram, len(cp))
+            weights = np.array(fingerprint_weights(k), dtype=np.uint64)
+            if len(cp) <= k:
+                win = cp[None, :]
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(cp, k)
+            hashes = (win * weights).sum(axis=1) & mask63
+            w = min(window, len(hashes))
+            mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+            out.append(np.unique(mins).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return wf

@@ -316,6 +316,86 @@ def minhash_lsh_pairs(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kgram: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+    min_overlap: float = 0.0,
+) -> DataFrame:
+    """-> (id_a, id_b, n_shared, overlap) document-overlap pairs via
+    winnowing fingerprint sets (MOSS; reference analog: the Stat DSL's
+    frequency sketches have no overlap JOIN — this is the training-data
+    addendum's document-fingerprinting operator taken to pair granularity).
+
+    Plan: fingerprint sets in ONE Arrow pass over text (text never crosses
+    a shuffle after it) -> native explode to (id, 64-bit fp) rows ->
+    doc-frequency guard: fingerprints appearing in more than ``max_df``
+    documents are dropped BEFORE the self-join (shared boilerplate — headers,
+    licenses, templates — is exactly the hot key that would otherwise
+    explode the candidate volume as sum(df^2); the guard caps any single
+    fingerprint's contribution at max_df^2) -> equi-self-join on the
+    fingerprint value -> per-pair shared count -> containment-style overlap
+    = n_shared / min(|A|, |B|) over the RETAINED fingerprint counts.
+
+    Everything after the one Arrow pass is native and map-side combinable;
+    only (id, fp) longs shuffle. The exploded (id, fp) frame is persisted
+    across its uses (doc-frequency pass, self-join both sides, per-doc
+    sizes) so the fingerprint UDF evaluates once — same materialization
+    contract as ``minhash_lsh_pairs``'s buckets.
+    """
+    from ..functions.text import winnow_fingerprints_udf
+
+    wf = winnow_fingerprints_udf(kgram, window)
+    fps = (
+        _split_small_input(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(wf(F.col(text_col))).alias("fp"))
+        .persist()
+    )
+
+    hot = fps.groupBy("fp").agg(F.count("*").alias("__df")).filter(
+        F.col("__df") > max_df
+    )
+    exf = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+
+    sizes = exf.groupBy(id_col).agg(F.count("*").alias("__nfp"))
+    l, r = exf.alias("l"), exf.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("__nfp").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("__nfp").alias("__nb")),
+            "id_b",
+        )
+        .withColumn(
+            "__ov", F.col("n_shared") / F.least(F.col("__na"), F.col("__nb"))
+        )
+        # threshold on the UNROUNDED ratio (the SQL oracle filters the raw
+        # value too); round only the emitted column
+        .filter(F.col("__ov") >= float(min_overlap))
+        .select(
+            "id_a", "id_b", "n_shared", F.round(F.col("__ov"), 4).alias("overlap")
+        )
+    )
+
+
 _SPLITMIX_C1 = 0x9E3779B97F4A7C15
 _SPLITMIX_C2 = 0xBF58476D1CE4E5B9
 _SPLITMIX_C3 = 0x94D049BB133111EB

@@ -104,3 +104,57 @@ def test_exact_dedup(spark, docs_pdf):
     # 5 exact dup pairs: keep_id is the min id, copies == 2
     assert (out["copies"] == 2).sum() == 5
     assert out["copies"].sum() == len(docs_pdf)
+
+
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing invariants: determinism, the short-string whole-window
+    branch, and the guarantee that a shared substring of length >=
+    kgram + window - 1 yields at least one shared fingerprint."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.functions.text import winnow_fingerprints_udf
+
+    wf = winnow_fingerprints_udf(kgram=8, window=4)
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, "PREFIX AAA " + shared + " SUFFIX ZZZ"),
+        (2, "other start " + shared + " other end"),
+        (3, "tiny"),  # shorter than kgram -> one whole-string fingerprint
+        (4, ""),      # empty -> empty set
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "fps", wf(F.col("text"))
+    )
+    got = {r["doc_id"]: r["fps"] for r in df.collect()}
+    got2 = {r["doc_id"]: r["fps"] for r in df.collect()}
+    assert got == got2  # deterministic across runs
+    assert len(got[3]) == 1 and got[4] == []
+    # docs 1 and 2 share a 63-char substring >> kgram+window-1 = 11
+    assert set(got[1]) & set(got[2])
+    # sets are distinct-sorted
+    assert got[1] == sorted(set(got[1]))
+
+
+def test_winnow_overlap_pairs_and_max_df_guard(spark, docs_pdf):
+    from geomesa_spark.operators.dedup import winnow_overlap_pairs
+
+    df = spark.createDataFrame(docs_pdf)
+    out = winnow_overlap_pairs(
+        df, kgram=8, window=4, min_shared=2, max_df=30, min_overlap=0.5
+    ).toPandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    # the 5 exact-dup pairs (i, 200+i) must surface with overlap 1.0
+    for i in range(5):
+        assert (i, 200 + i) in pairs
+    exact = out[(out["id_a"] < 5) & (out["id_b"] == out["id_a"] + 200)]
+    assert len(exact) == 5 and (exact["overlap"] == 1.0).all()
+    # near-dup mutations (3 edits over ~230 chars) keep high overlap
+    near = out[(out["id_a"] < 10) & (out["id_b"].between(100, 109))]
+    assert len(near) >= 8 and (near["overlap"] >= 0.5).all()
+
+    # max_df guard: with max_df=0 every fingerprint shared by 2+ docs is
+    # boilerplate -> no pair can reach min_shared
+    none = winnow_overlap_pairs(
+        df, kgram=8, window=4, min_shared=1, max_df=0, min_overlap=0.0
+    )
+    assert none.count() == 0
