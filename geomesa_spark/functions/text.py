@@ -39,12 +39,32 @@ def token_count_expr(col: str, dialect: str = "spark") -> str:
     )
 
 
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_count_bpe_expr(col: str, dialect: str = "spark") -> str:
+    """BPE-ish pretoken count: the GPT-2 pretokenizer's split classes
+    (contraction suffixes, space-prefixed letter runs, digit runs,
+    punctuation runs, residual whitespace runs) restricted to
+    lookahead-free ASCII classes so the SAME pattern runs under Java regex
+    (Spark ``regexp_count``) and RE2 (DuckDB ``regexp_extract_all``) with
+    identical leftmost-first alternation — parity pinned on quotes,
+    unicode, and mixed-whitespace inputs in tests. Counts pretokens, the
+    standard upper-bound proxy for BPE token counts."""
+    if dialect == "duckdb":
+        pat = _BPE_PAT.replace("'", "''")
+        return f"len(regexp_extract_all({col}, '{pat}'))"
+    pat = _BPE_PAT.replace("'", "\\'")
+    return f"regexp_count({col}, '{pat}')"
+
+
 def quality_exprs(col: str, dialect: str = "spark") -> dict[str, str]:
     """Quality-scoring signals as portable SQL expressions."""
     n = f"length({col})"
     return {
         "n_chars": f"cast({n} as bigint)",
         "n_tokens": f"cast({token_count_expr(col, dialect)} as bigint)",
+        "n_bpe_tokens": f"cast({token_count_bpe_expr(col, dialect)} as bigint)",
         "alpha_ratio": (
             f"round(cast(length({_rr(col, '[^a-zA-Z]', '', dialect)}) as double)"
             f" / greatest({n}, 1), 4)"

@@ -257,3 +257,36 @@ def test_fingerprint_short_and_edit_robust(spark):
     assert out[0] == want
     # fingerprints exist and are 63-bit non-negative
     assert (out >= 0).all()
+
+
+def test_bpe_token_count_parity(spark):
+    """The BPE-ish pretokenizer regex counts identically under Java regex
+    (Spark) and RE2 (DuckDB) — quotes, unicode, mixed whitespace."""
+    import duckdb
+
+    from geomesa_spark.functions.text import token_count_bpe_expr
+
+    texts = [
+        "Hello, world! It's 2026.",
+        "  multi   space\ttabs\nnewlines  ",
+        "don't re-encode 123abc",
+        "",
+        "éàü unicode chars?!",
+        "a'b''c",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    got = [
+        r["n"]
+        for r in df.selectExpr(
+            "t", f"{token_count_bpe_expr('t', 'spark')} as n"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"select {token_count_bpe_expr('?', 'duckdb')}", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+    assert got[3] == 0 and got[0] == 8
