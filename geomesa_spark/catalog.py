@@ -965,6 +965,51 @@ WHERE CAST(ns AS DOUBLE) / least(sa.nfp, sb.nfp) >= {WINNOW_MIN_OVERLAP}
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pair graph -> duplicate clusters: winnowing overlap pairs
+    (same config as text_winnow_pairs) fed through iterative min-label
+    connected components — the keep-one-per-cluster step of a dedup
+    pipeline. The DuckDB oracle recomputes the SAME pair graph (full winnow
+    replay) and labels components with a RECURSIVE transitive-closure CTE —
+    an independent fixpoint, so the engine's round-based propagation is
+    checked for transitivity (chains A~B~C where A!~C), not just cliques.
+    Every document appears: singletons label themselves."""
+    from .operators.dedup import connected_components, winnow_overlap_pairs
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    pairs = winnow_overlap_pairs(
+        docs,
+        kgram=WINNOW_K,
+        window=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        max_df=WINNOW_MAX_DF,
+        min_overlap=WINNOW_MIN_OVERLAP,
+    )
+    return connected_components(pairs, docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _oracle_dedup_clusters():
+    winnow = _oracle_text_winnow_pairs()
+    return f"""
+WITH RECURSIVE
+wpairs AS (SELECT id_a, id_b FROM ({winnow})),
+edges AS (SELECT id_a AS u, id_b AS v FROM wpairs
+          UNION SELECT id_b, id_a FROM wpairs),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lbl AS (SELECT u AS id, min(v) AS mn FROM reach GROUP BY u)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(least(l.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+"""
+
+
 def q_lang_stats(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
@@ -1984,6 +2029,7 @@ QUERIES = {
     "lang_stats": (q_lang_stats, _oracle_lang_stats()),
     "text_fingerprint": (q_text_fingerprint, _oracle_text_fingerprint()),
     "text_winnow_pairs": (q_text_winnow_pairs, _oracle_text_winnow_pairs()),
+    "dedup_clusters": (q_dedup_clusters, _oracle_dedup_clusters()),
     "embed_norms": (q_embed_norms, _oracle_embed_norms()),
     "ann_cosine": (q_ann_cosine, _oracle_ann_cosine()),
     "embed_neardup": (q_embed_neardup, _oracle_embed_neardup_lsh()),

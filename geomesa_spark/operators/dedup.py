@@ -396,6 +396,89 @@ def winnow_overlap_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """-> (id_col, cluster_id) duplicate-cluster labels over a pair graph:
+    cluster_id = the smallest node id reachable through the pairs. This is
+    the step that turns near-dup PAIRS (minhash/simhash/winnow/embedding)
+    into keep-one-per-cluster decisions; nodes absent from ``pairs`` come
+    out as their own singleton cluster.
+
+    Plan: iterative min-label propagation — per round ONE equi-join of the
+    (u, v) edge list against the current (u, label) frame plus a min
+    aggregate, so only id/label longs ever shuffle; each round's frame is
+    persisted and the previous round's unpersisted after the new one
+    materializes (knn_join_table's round contract). Converges in
+    graph-diameter rounds — near-dup graphs are shallow (exact-dup cliques
+    have diameter 1, chain-of-edits components a few hops). Raises on
+    non-convergence after ``max_iter`` rather than returning partial labels.
+
+    100 TB note: for adversarial long-path graphs, alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014) converges in O(log² n) rounds with
+    the same per-round join shape; diameter-bound propagation is the right
+    default for dedup graphs, whose components are near-cliques.
+    """
+    e = pairs.select(
+        F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+    )
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    # iterative frames MUST truncate lineage per round (eager
+    # localCheckpoint): a persist alone caches data but the LOGICAL plan
+    # still nests the previous round's plan, doubling per round —
+    # round ~10 plans OOM the driver just being stringified. Superseded
+    # rounds' blocks are dropped by the ContextCleaner once unreferenced.
+    # At production scale substitute a reliable checkpoint dir
+    # (sc.setCheckpointDir + .checkpoint()) for executor-loss tolerance.
+    labels = nodes.select(
+        F.col(id_col).cast("long").alias("u"), F.col(id_col).cast("long").alias("lbl")
+    ).localCheckpoint()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.alias("e")
+                .join(labels.alias("s"), F.col("e.v") == F.col("s.u"))
+                .groupBy(F.col("e.u").alias("u"))
+                .agg(F.min("s.lbl").alias("nlbl"))
+            )
+            new_labels = (
+                labels.join(nbr, "u", "left")
+                .select(
+                    "u",
+                    F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "u")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds; "
+                "the pair graph has a longer diameter than a dedup graph "
+                "should — raise max_iter or use star-contraction"
+            )
+    finally:
+        edges.unpersist()
+    return labels.select(F.col("u").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 _SPLITMIX_C1 = 0x9E3779B97F4A7C15
 _SPLITMIX_C2 = 0xBF58476D1CE4E5B9
 _SPLITMIX_C3 = 0x94D049BB133111EB

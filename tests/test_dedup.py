@@ -158,3 +158,37 @@ def test_winnow_overlap_pairs_and_max_df_guard(spark, docs_pdf):
         df, kgram=8, window=4, min_shared=1, max_df=0, min_overlap=0.0
     )
     assert none.count() == 0
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    """Min-label propagation must be TRANSITIVE (chains, not just cliques),
+    leave singletons self-labeled, and converge via the no-change check."""
+    from geomesa_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, forces multi-round propagation),
+    # clique {10,11,12}, cross pair (20,21); nodes 30, 31 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 30, 31]], ["doc_id"]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20, 30: 30, 31: 31}
+
+
+def test_connected_components_nonconvergence_guard(spark):
+    from geomesa_spark.operators.dedup import connected_components
+
+    # path of length 5 cannot converge in 2 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes, max_iter=2)
