@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "join_revenue_by_nation",
     "dedup_exact",
     "minhash_pairs_banded",
+    "img_phash_pairs",
     "text_winnow_pairs",
     "text_quality",
     "ann_cosine",

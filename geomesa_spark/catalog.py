@@ -1992,6 +1992,47 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM bucket GROUP BY 1
 """
 
 
+IMG_PHASH_MAXH = 8  # hamming threshold: well inside the corpus separation
+                    # (median pairwise distance 21 bits on this fixture)
+
+
+def q_img_phash_pairs(spark, sf_dir):
+    """Near-duplicate IMAGE pairs: hamming <= 8 on the STORED 64-bit phash
+    column via multi-index hashing (pigeonhole banding, guaranteed recall) —
+    the image-dedup scale path: bytes are never decoded or shuffled, only
+    (id, hash) rows band and join. Oracle validity: banding recall is exact
+    by pigeonhole, so brute-force hamming in SQL over phashes recomputed
+    from regenerated PIXELS equals the operator output bit-for-bit."""
+    from .operators.dedup import hamming_neardup_pairs
+    from .sources.images import images_df
+
+    imgs = images_df(spark, _img_n(spark, sf_dir))
+    return hamming_neardup_pairs(
+        imgs, "phash", "image_id", max_hamming=IMG_PHASH_MAXH
+    ).select("id_a", "id_b", "hamming")
+
+
+def _oracle_img_phash_pairs():
+    """Brute-force replay: regenerate pixels -> integer-exact aHash bits ->
+    split into two 32-bit halves (avoids BIGINT sign overflow at bit 63) ->
+    popcount of XOR per pair. image_id is zero-padded so string < matches
+    the numeric id order the Spark side uses."""
+    from .oracle_sql import images_pixel_gray_ctes, phash_bits_cte
+
+    return f"""
+WITH {images_pixel_gray_ctes(IMG_N)},{phash_bits_cte()},
+halves AS (SELECT id,
+    CAST(sum(CASE WHEN bi < 32 THEN bv * (CAST(1 AS BIGINT) << CAST(bi AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo,
+    CAST(sum(CASE WHEN bi >= 32 THEN bv * (CAST(1 AS BIGINT) << CAST(bi - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY 1)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) AS BIGINT) AS hamming
+FROM halves ha JOIN halves hb ON ha.id < hb.id
+JOIN imgs a ON a.id = ha.id JOIN imgs b ON b.id = hb.id
+WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) <= {IMG_PHASH_MAXH}
+"""
+
+
 # =============================================================================
 # registry
 # =============================================================================
@@ -2050,5 +2091,6 @@ QUERIES = {
     "img_tile_density": (q_img_tile_density, _oracle_img_tile_density()),
     "img_density_scan": (q_img_density_scan, _oracle_img_density_scan()),
     "img_phash_buckets": (q_img_phash_buckets, _oracle_img_phash_buckets()),
+    "img_phash_pairs": (q_img_phash_pairs, _oracle_img_phash_pairs()),
     "img_resize": (q_img_resize, _oracle_img_resize()),
 }

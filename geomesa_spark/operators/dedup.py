@@ -549,11 +549,35 @@ def simhash_pairs(
     equi-join misses nothing at the stated threshold (the round-1 fixed
     4-chunk banding silently lost recall whenever max_hamming > 3). Exact
     popcount verify is native bit_count — no UDF past the signature stage."""
-    n_chunks = min(max_hamming + 1, 64)
     sh = simhash_udf()
     with_h = _split_small_input(df.select(id_col, text_col)).withColumn(
         "__sh", sh(F.col(text_col))
     ).select(id_col, "__sh")
+    return hamming_neardup_pairs(with_h, "__sh", id_col, max_hamming)
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """-> (id_a, id_b, hamming): pairs whose precomputed 64-bit hashes differ
+    in at most ``max_hamming`` bits — multi-index hashing (Norouzi, Punjani &
+    Fleet, CVPR 2012): the hash splits into ``max_hamming + 1`` disjoint
+    chunks, and by pigeonhole any pair within the threshold collides exactly
+    on at least one chunk, so the chunk equi-join has guaranteed recall.
+
+    This is the image-dedup path over a STORED perceptual-hash column
+    (``phash`` in the BASELINE input_hint schema — computed once at ingest,
+    never re-decoded here): only (id, 64-bit hash) rows enter the banding
+    explode and candidate shuffle, never image bytes. The exact verify is
+    native ``bit_count`` over the XOR — zero Python stages anywhere.
+    Candidate volume per chunk value is bounded by the chunk width
+    (64/(k+1) bits); the analog of the reference's attribute-index bucket
+    join (AttributeIndex key collision groups)."""
+    n_chunks = min(max_hamming + 1, 64)
+    with_h = df.select(F.col(id_col), F.col(hash_col).alias("__sh"))
 
     chunks = with_h.select(
         id_col,

@@ -89,6 +89,40 @@ def test_simhash_pigeonhole_recall(spark, docs_pdf, max_hamming):
     assert len(expect) >= 5  # exact dups at hamming 0 must be present
 
 
+def test_hamming_neardup_pairs_stored_hash(spark):
+    """Generic multi-index-hashing pairs over a PRECOMPUTED hash column
+    (the stored-phash image-dedup path): recall vs brute force at the
+    threshold, exact duplicates included, nothing below threshold."""
+    from geomesa_spark.operators.dedup import hamming_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(-(2**63), 2**63 - 1, size=40, dtype=np.int64)
+    rows = [(f"h{i:04d}", int(v)) for i, v in enumerate(base)]
+    # near-dups: flip 1..9 random bits of the first 12 hashes
+    for i in range(12):
+        v = int(base[i])
+        for b in rng.choice(64, size=(i % 9) + 1, replace=False):
+            v ^= 1 << int(b)
+        v &= (1 << 64) - 1  # wrap to signed int64 range
+        rows.append((f"h{100 + i:04d}", v - (1 << 64) if v >= 1 << 63 else v))
+    # exact duplicates
+    rows += [(f"h{200 + i:04d}", int(base[i])) for i in range(4)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["img_id", "ph"]))
+    got = hamming_neardup_pairs(df, "ph", "img_id", max_hamming=6).toPandas()
+    gset = {(r.id_a, r.id_b): r.hamming for r in got.itertuples(index=False)}
+    h = dict(rows)
+    expect = {}
+    ids = sorted(h)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((h[a] ^ h[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if d <= 6:
+                expect[(a, b)] = d
+    assert gset == expect
+    assert any(d == 0 for d in expect.values())  # exact dups present
+    assert any(0 < d <= 6 for d in expect.values())  # true near-dups present
+
+
 def test_simhash_chunk_bounds():
     for n in (2, 4, 9, 17, 64):
         b = simhash_chunk_bounds(n)
