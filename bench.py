@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "minhash_pairs_banded",
     "img_phash_pairs",
     "text_winnow_pairs",
+    "text_bm25",
+    "events_sessionize",
+    "events_asof",
     "text_quality",
     "ann_cosine",
 ]

@@ -1025,6 +1025,175 @@ FROM documents GROUP BY lang
 """
 
 
+SAMPLE_FRACS = {"en": 0.25, "zh": 0.6}  # downsample dominant strata
+SAMPLE_SALT = 7
+
+
+def q_docs_sample_stratified(spark, sf_dir):
+    """Deterministic stratified corpus rebalancing: keep iff
+    u01(doc_id) < fraction(lang) — a pure codegen filter (zero shuffles)
+    whose kept-row SET is identical at any parallelism or resume point,
+    unlike df.sample. The portable multiply-shift hash is replayed verbatim
+    by the oracle."""
+    from .operators.sampling import sample_stratified
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    out = sample_stratified(
+        docs, "lang", "doc_id", SAMPLE_FRACS, default_fraction=0.9,
+        salt=SAMPLE_SALT,
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+def _oracle_docs_sample_stratified():
+    from .operators.sampling import u01_hash_sql
+
+    u = u01_hash_sql("doc_id", SAMPLE_SALT)
+    case = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(SAMPLE_FRACS.items())
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE {u} < (CASE lang {case} ELSE 0.9 END)
+"""
+
+
+BM25_TERMS = ["vector", "join", "stream"]
+BM25_K = 20
+
+
+def q_text_bm25(spark, sf_dir):
+    """Okapi BM25 top-k retrieval over documents — the corpus-mining member
+    of the LLM-pipeline family. Fully native: tokenize/explode, early
+    query-term pruning before the tf shuffle, single-row corpus stats
+    broadcast, TakeOrderedAndProject top-k (no global sort)."""
+    from .operators.retrieval import bm25_topk
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=BM25_K).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "score"
+    )
+
+
+def _oracle_text_bm25():
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+              FROM documents),
+tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk WHERE tok IN ({terms}) GROUP BY 1, 2),
+dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 6) AS score
+  FROM tf t JOIN dfreq d USING (tok) JOIN dl l USING (doc_id), stats s
+  GROUP BY 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score FROM scored
+ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
+ASOF_TOL_S = 7 * 86400
+
+
+def q_events_asof(spark, sf_dir):
+    """Point-in-time enrichment: attach to every click the user's most
+    recent prior purchase (within 7 days) via the union-and-window as-of
+    join — one shuffle on user_id, no range theta-join."""
+    from .operators.asof import asof_join
+
+    (events,) = _load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_cols=["event_id", "value"],
+        tie_col="event_id",
+        tolerance_s=ASOF_TOL_S,
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("r_event_id").cast("long").alias("purchase_id"),
+        F.round("r_value", 6).alias("purchase_value"),
+        "lag_s",
+    )
+
+
+def _oracle_events_asof():
+    return f"""
+WITH u AS (
+  SELECT user_id, ts AS t, 1 AS src, event_id AS l_eid,
+         CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS DOUBLE) AS r_val,
+         CAST(NULL AS TIMESTAMP) AS rt, CAST(NULL AS BIGINT) AS tie
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, event_id, value, ts, event_id
+  FROM events WHERE event_type = 'purchase'),
+a AS (
+  SELECT user_id, t, src, l_eid,
+         last_value(r_eid IGNORE NULLS) OVER w AS m_eid,
+         last_value(r_val IGNORE NULLS) OVER w AS m_val,
+         last_value(rt IGNORE NULLS) OVER w AS m_rt
+  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t, src, tie NULLS FIRST
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT CAST(l_eid AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+       CAST(m_eid AS BIGINT) AS purchase_id, round(m_val, 6) AS purchase_value,
+       CAST(floor(epoch(t)) AS BIGINT) - CAST(floor(epoch(m_rt)) AS BIGINT) AS lag_s
+FROM a
+WHERE src = 1 AND m_rt IS NOT NULL
+  AND CAST(floor(epoch(t)) AS BIGINT) - CAST(floor(epoch(m_rt)) AS BIGINT) <= {ASOF_TOL_S}
+"""
+
+
+SESSION_GAP_S = 1800
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event log (30-min inactivity gap):
+    one shuffle on user_id shared by the window and the per-session
+    aggregate; epoch-second outputs keep the result integer-exact."""
+    from .operators.sessions import sessionize
+
+    (events,) = _load(spark, sf_dir, "events")
+    return sessionize(events, "user_id", "ts", gap_s=SESSION_GAP_S).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_idx",
+        "start_s",
+        "end_s",
+        "n_events",
+        "duration_s",
+    )
+
+
+def _oracle_events_sessionize():
+    return f"""
+WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+g AS (SELECT user_id, ts, ep,
+             CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS nw
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ep,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM g)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       min(ep) AS start_s, max(ep) AS end_s,
+       CAST(count(*) AS BIGINT) AS n_events, max(ep) - min(ep) AS duration_s
+FROM s GROUP BY 1, 2
+"""
+
+
 # =============================================================================
 # Embeddings / similarity
 # =============================================================================
@@ -2068,6 +2237,10 @@ QUERIES = {
     "text_quality": (q_text_quality, _oracle_text_quality()),
     "text_langid": (q_text_langid, _oracle_text_langid()),
     "lang_stats": (q_lang_stats, _oracle_lang_stats()),
+    "text_bm25": (q_text_bm25, _oracle_text_bm25()),
+    "events_sessionize": (q_events_sessionize, _oracle_events_sessionize()),
+    "events_asof": (q_events_asof, _oracle_events_asof()),
+    "docs_sample_stratified": (q_docs_sample_stratified, _oracle_docs_sample_stratified()),
     "text_fingerprint": (q_text_fingerprint, _oracle_text_fingerprint()),
     "text_winnow_pairs": (q_text_winnow_pairs, _oracle_text_winnow_pairs()),
     "dedup_clusters": (q_dedup_clusters, _oracle_dedup_clusters()),

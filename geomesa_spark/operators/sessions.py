@@ -1,0 +1,84 @@
+"""Sessionization: gap-based event sessions per entity.
+
+The batch analog of the reference's event-time feature grouping
+(geomesa-kafka feature-expiry/event-time views, KafkaFeatureCache.scala)
+re-expressed as a pure window pipeline: one shuffle on the entity key,
+everything else whole-stage codegen. The streaming twin
+(``streaming.live_view``) handles the same semantics incrementally with
+watermarks; this operator is the backfill/batch path a training-data
+pipeline runs over historical event logs.
+
+Scale notes (100 TB): the ONLY shuffle is the window partition on
+``user_col`` — the same key the final groupBy reuses, so Catalyst plans a
+single Exchange for both (window + partial/final agg share the
+partitioning). Per-key state is a sort of that user's events (Spark
+spills sorted runs); no driver state, no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """-> (user, session_idx, start_s, end_s, n_events, duration_s).
+
+    A new session starts when the gap to the entity's previous event
+    exceeds ``gap_s`` seconds (the first event always starts session 1).
+    ``session_idx`` is 1-based per user; start/end are epoch seconds
+    (integer-exact, engine-portable).
+    """
+    # Both windows MUST order by the same expression (the raw event time):
+    # ordering the running sum by a coarser key (e.g. whole-second epoch)
+    # than the lag used for gap detection would let tied rows land on the
+    # wrong side of a session boundary nondeterministically.
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    ep = F.unix_timestamp(F.col(ts_col))
+    gap = ep - F.lag(ep).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    marked = df.select(
+        F.col(user_col),
+        F.col(ts_col).alias("__ts"),
+        ep.alias("__ep"),
+        new_sess.alias("__new"),
+    ).withColumn(
+        "session_idx",
+        F.sum("__new").over(
+            Window.partitionBy(user_col)
+            .orderBy("__ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        marked.groupBy(user_col, "session_idx")
+        .agg(
+            F.min("__ep").alias("start_s"),
+            F.max("__ep").alias("end_s"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("duration_s", F.col("end_s") - F.col("start_s"))
+        .select(
+            user_col,
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "start_s",
+            "end_s",
+            F.col("n_events").cast("long").alias("n_events"),
+            "duration_s",
+        )
+    )
+
+
+def session_stats(sessions: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Per-user rollup of a sessionize() result: session count, mean events
+    per session, total active seconds. Pure partial/final aggregation."""
+    return sessions.groupBy(user_col).agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+        F.sum("duration_s").cast("long").alias("active_s"),
+    )
