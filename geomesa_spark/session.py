@@ -42,6 +42,12 @@ def get_spark(
         # sources.parquet_scan.scan_parquet_arrow, which bypasses the JVM
         # reader entirely.
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        # Python workers fork from one daemon process per executor; preload
+        # the numpy/pandas/pyarrow + engine import cascade there so forked
+        # workers inherit it copy-on-write instead of each paying ~0.9 s on
+        # its first task (workers are reaped between stages, so a warmup
+        # stage cannot pre-pay this). See geomesa_spark/worker_daemon.py.
+        .config("spark.python.daemon.module", "geomesa_spark.worker_daemon")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
