@@ -1010,6 +1010,54 @@ FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
 """
 
 
+DUPSPAN_W = 32
+
+
+def q_text_dup_spans(spark, sf_dir):
+    """Exact-substring duplication coverage (ExactSubstr of Lee et al. 2022):
+    per document, the characters covered by a 32-char span that appears
+    verbatim in another document — every window position natively via
+    explode(sequence) + substring, cross-doc spans by distinct+count, and
+    the per-doc interval union via gaps-and-islands window functions. The
+    DuckDB oracle replays the identical pipeline (same windows, same >= 2
+    distinct-doc rule, same running-max island split), so the engine's
+    window-function coverage arithmetic is value-checked end to end."""
+    from .operators.dedup import dup_span_stats
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return dup_span_stats(docs, window=DUPSPAN_W).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dup_chars").cast("long").alias("dup_chars"),
+        "dup_ratio",
+    )
+
+
+def _oracle_text_dup_spans():
+    w = DUPSPAN_W
+    return f"""
+WITH t AS (SELECT doc_id, text AS tt FROM documents WHERE length(text) >= {w}),
+pos AS (SELECT doc_id, tt, unnest(range(1, length(tt) - {w} + 2)) AS i FROM t),
+spans AS (SELECT doc_id, i, substr(tt, i, {w}) AS sp FROM pos),
+dsp AS (SELECT sp FROM (SELECT DISTINCT doc_id, sp FROM spans)
+        GROUP BY sp HAVING count(*) >= 2),
+occ AS (SELECT s.doc_id, s.i FROM spans s JOIN dsp USING (sp)),
+isl AS (SELECT doc_id, i,
+               CASE WHEN max(i + {w}) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR i >= max(i + {w}) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS ni
+        FROM occ),
+gid AS (SELECT doc_id, i, sum(ni) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM isl),
+cov AS (SELECT doc_id, max(i) + {w} - min(i) AS c FROM gid GROUP BY doc_id, g),
+agg AS (SELECT doc_id, sum(c) AS dup_chars FROM cov GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+       round(CAST(coalesce(a.dup_chars, 0) AS DOUBLE) / length(d.text), 4) AS dup_ratio
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 def q_lang_stats(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
@@ -2244,6 +2292,7 @@ QUERIES = {
     "text_fingerprint": (q_text_fingerprint, _oracle_text_fingerprint()),
     "text_winnow_pairs": (q_text_winnow_pairs, _oracle_text_winnow_pairs()),
     "dedup_clusters": (q_dedup_clusters, _oracle_dedup_clusters()),
+    "text_dup_spans": (q_text_dup_spans, _oracle_text_dup_spans()),
     "embed_norms": (q_embed_norms, _oracle_embed_norms()),
     "ann_cosine": (q_ann_cosine, _oracle_ann_cosine()),
     "embed_neardup": (q_embed_neardup, _oracle_embed_neardup_lsh()),

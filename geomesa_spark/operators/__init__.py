@@ -1,6 +1,12 @@
 """Operator surface (see COVERAGE.md for the reference mapping)."""
 
-from .dedup import exact_dedup, minhash_lsh_pairs, simhash64, simhash_pairs  # noqa: F401
+from .dedup import (  # noqa: F401
+    dup_span_stats,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash64,
+    simhash_pairs,
+)
 from .density import cell_density, density  # noqa: F401
 from .geometry_join import geometry_join, geometry_join_time  # noqa: F401
 from .hull import convex_hull, convex_hull_vertices  # noqa: F401

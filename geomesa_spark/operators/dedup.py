@@ -396,6 +396,95 @@ def winnow_overlap_pairs(
     )
 
 
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+) -> DataFrame:
+    """Exact-substring duplication statistics per document (the ExactSubstr
+    dedup measure of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): for every document, how many characters are
+    covered by some ``window``-char span that also appears verbatim in at
+    least one OTHER document. -> (doc_id, dup_chars, dup_ratio), one row per
+    input document (0 / 0.0 for documents with no cross-document span, or
+    shorter than the window).
+
+    Plan — fully native, zero Python stages:
+
+    1. every window position via ``posexplode(sequence(...))`` +
+       ``substring`` (whole-stage codegen);
+    2. spans seen in >= 2 distinct documents (distinct + groupBy + count);
+    3. occurrences of those spans rejoined (one row per span on the build
+       side — no fan-out) — only (doc_id, position) rows survive;
+    4. per-doc interval union of [i, i+window) via gaps-and-islands window
+       functions (running max of span end; a new island starts where the
+       current position clears it), then covered chars per island and per
+       doc.
+
+    Scale notes: step 1 is data-parallel and emits length(text) rows per
+    doc — at 10^12-doc scale sample positions content-defined (keep i where
+    a rolling hash of the span is 0 mod s: shift-invariant, expected 1/s
+    density; the winnowing fingerprints in :func:`winnow_overlap_pairs` are
+    the shipped form of that) and group spans by a 64-bit hash instead of
+    the literal string so only 8-byte keys shuffle. Step 3's join key
+    distribution IS the duplicate structure: a boilerplate span shared by
+    millions of docs is one build-side row, so no skew amplification.
+    """
+    w = int(window)
+    spans = (
+        df.filter(F.length(text_col) >= w)
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(f"sequence(1, length({text_col}) - {w} + 1)")).alias("i"),
+            F.col(text_col),
+        )
+        .select(id_col, "i", F.expr(f"substring({text_col}, i, {w})").alias("sp"))
+    )
+    dup_sp = (
+        spans.select(id_col, "sp")
+        .distinct()
+        .groupBy("sp")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("sp")
+    )
+    occ = spans.join(dup_sp, "sp").select(id_col, "i")
+
+    from pyspark.sql import Window
+
+    by_doc = Window.partitionBy(id_col).orderBy("i")
+    prev_end = F.max(F.col("i") + F.lit(w)).over(
+        by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        occ.withColumn(
+            "__new",
+            F.when(prev_end.isNull() | (F.col("i") >= prev_end), 1).otherwise(0),
+        )
+        .withColumn(
+            "__g", F.sum("__new").over(by_doc.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(id_col, "__g")
+        .agg((F.max("i") + F.lit(w) - F.min("i")).alias("__cov"))
+        .groupBy(id_col)
+        .agg(F.sum("__cov").alias("dup_chars"))
+    )
+    return (
+        df.select(F.col(id_col), F.length(text_col).alias("__len"))
+        .join(islands, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias("dup_chars"),
+            F.round(
+                F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+                / F.col("__len").cast("double"),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

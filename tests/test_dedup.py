@@ -226,3 +226,49 @@ def test_connected_components_nonconvergence_guard(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, nodes, max_iter=2)
+
+
+def test_dup_span_stats_coverage_arithmetic(spark):
+    """Interval-union coverage: overlapping occurrences merge (no double
+    count), disjoint runs add, within-doc-only repeats do not count, docs
+    shorter than the window report 0."""
+    from geomesa_spark.operators.dedup import dup_span_stats
+
+    shared = "ABCDEFGH"  # 8-char window below
+    # doc 1 and 2 share `shared` embedded at different offsets; doc 3 is an
+    # exact copy of doc 1 (ratio 1.0); doc 4 repeats a block twice but only
+    # within itself (must NOT count); doc 5 is shorter than the window.
+    d1 = "xx" + shared + "yyyyzzzzqqqq"
+    d2 = "oooooo" + shared + "pppppp"
+    d4 = "11112222" * 3
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d1), (4, d4), (5, "tiny")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dup_span_stats(docs, window=8).collect()}
+    assert len(out) == 5
+    # docs 1 and 3 are identical: every char covered
+    assert out[1]["dup_chars"] == len(d1) and out[1]["dup_ratio"] == 1.0
+    assert out[3]["dup_chars"] == len(d1) and out[3]["dup_ratio"] == 1.0
+    # doc 2 shares with doc 1 only windows inside `shared` — a single
+    # 8-char window exists fully inside it, covering exactly those 8 chars
+    assert out[2]["dup_chars"] == 8
+    assert out[2]["dup_ratio"] == round(8 / len(d2), 4)
+    # doc 4's repeat is internal only; doc 5 is below the window length
+    assert out[4]["dup_chars"] == 0 and out[4]["dup_ratio"] == 0.0
+    assert out[5]["dup_chars"] == 0 and out[5]["dup_ratio"] == 0.0
+
+
+def test_dup_span_stats_disjoint_islands(spark):
+    """Two separated shared runs in one doc produce summed, non-bridged
+    coverage."""
+    from geomesa_spark.operators.dedup import dup_span_stats
+
+    a = "AAAABBBB"
+    b = "CCCCDDDD"
+    host = a + "x" * 10 + b          # shared runs split by unique filler
+    donor = a + "y" * 50 + b         # different filler: only a and b shared
+    docs = spark.createDataFrame([(1, host), (2, donor)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dup_span_stats(docs, window=8).collect()}
+    assert out[1]["dup_chars"] == 16  # 8 + 8, filler not bridged
+    assert out[2]["dup_chars"] == 16
