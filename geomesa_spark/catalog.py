@@ -907,9 +907,12 @@ def q_text_winnow_pairs(spark, sf_dir):
     count + containment overlap. The DuckDB oracle replays the ENTIRE
     pipeline — position hashes via unicode(substr(...)) with the identical
     257-power weights, the window min as a window function, the guard, the
-    join — so the hash check covers the approximate pipeline itself. The
-    fixture's documents (min 48 chars) all exercise the full rolling path;
-    the short-string whole-window branch is pytest-covered."""
+    join — so the hash check covers the approximate pipeline itself,
+    including the shrunk-window branch for docs of kgram..kgram+window-2
+    codepoints (the oracle's greatest(nh-(w-1),1) keeps position 1, whose
+    clipped window min equals the engine's single whole-span fingerprint).
+    Only docs shorter than kgram remain engine-only (whole-string fold,
+    pytest-covered; the fixture's documents are all >= 48 chars)."""
     from .operators.dedup import winnow_overlap_pairs
 
     (docs,) = _load(spark, sf_dir, "documents")
@@ -928,7 +931,11 @@ def q_text_winnow_pairs(spark, sf_dir):
     )
 
 
-def _oracle_text_winnow_pairs():
+def _oracle_text_winnow_pairs(
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_df: int = WINNOW_MAX_DF,
+    min_overlap: float = WINNOW_MIN_OVERLAP,
+):
     from .functions.text import fingerprint_weights
 
     k, w = WINNOW_K, WINNOW_W
@@ -948,20 +955,21 @@ wmin AS (SELECT doc_id, i,
                               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh,
                 count(*) OVER (PARTITION BY doc_id) AS nh
          FROM kh),
-fps AS (SELECT DISTINCT doc_id, mh AS fp FROM wmin WHERE i <= nh - {w - 1}),
+fps AS (SELECT DISTINCT doc_id, mh AS fp FROM wmin
+        WHERE i <= greatest(nh - {w - 1}, 1)),
 exf AS (SELECT doc_id, fp FROM fps
-        WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) > {WINNOW_MAX_DF})),
+        WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) > {max_df})),
 sizes AS (SELECT doc_id, count(*) AS nfp FROM exf GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ns
           FROM exf a JOIN exf b ON a.fp = b.fp AND a.doc_id < b.doc_id
-          GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED})
+          GROUP BY 1, 2 HAVING count(*) >= {min_shared})
 SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
        CAST(ns AS BIGINT) AS n_shared,
        round(CAST(ns AS DOUBLE) / least(sa.nfp, sb.nfp), 4) AS overlap
 FROM pairs
 JOIN sizes sa ON pairs.ia = sa.doc_id
 JOIN sizes sb ON pairs.ib = sb.doc_id
-WHERE CAST(ns AS DOUBLE) / least(sa.nfp, sb.nfp) >= {WINNOW_MIN_OVERLAP}
+WHERE CAST(ns AS DOUBLE) / least(sa.nfp, sb.nfp) >= {min_overlap}
 """
 
 
@@ -1179,28 +1187,36 @@ def q_events_asof(spark, sf_dir):
 
 
 def _oracle_events_asof():
+    # the matched right row travels as ONE struct (NULL on left rows) so
+    # last_value(IGNORE NULLS) matches a whole row atomically — the same
+    # contract as the engine's struct carry (a per-column carry would
+    # backfill NULL payload fields from older rows)
     return f"""
 WITH u AS (
   SELECT user_id, ts AS t, 1 AS src, event_id AS l_eid,
-         CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS DOUBLE) AS r_val,
-         CAST(NULL AS TIMESTAMP) AS rt, CAST(NULL AS BIGINT) AS tie
+         CAST(NULL AS STRUCT(rt TIMESTAMP, eid BIGINT, val DOUBLE)) AS m,
+         CAST(NULL AS BIGINT) AS tie
   FROM events WHERE event_type = 'click'
   UNION ALL
-  SELECT user_id, ts, 0, NULL, event_id, value, ts, event_id
+  SELECT user_id, ts, 0, NULL,
+         struct_pack(rt := ts, eid := CAST(event_id AS BIGINT),
+                     val := CAST(value AS DOUBLE)),
+         event_id
   FROM events WHERE event_type = 'purchase'),
 a AS (
   SELECT user_id, t, src, l_eid,
-         last_value(r_eid IGNORE NULLS) OVER w AS m_eid,
-         last_value(r_val IGNORE NULLS) OVER w AS m_val,
-         last_value(rt IGNORE NULLS) OVER w AS m_rt
+         last_value(m IGNORE NULLS) OVER w AS mm
   FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t, src, tie NULLS FIRST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT CAST(l_eid AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
-       CAST(m_eid AS BIGINT) AS purchase_id, round(m_val, 6) AS purchase_value,
-       CAST(floor(epoch(t)) AS BIGINT) - CAST(floor(epoch(m_rt)) AS BIGINT) AS lag_s
+       struct_extract(mm, 'eid') AS purchase_id,
+       round(struct_extract(mm, 'val'), 6) AS purchase_value,
+       CAST(floor(epoch(t)) AS BIGINT)
+         - CAST(floor(epoch(struct_extract(mm, 'rt'))) AS BIGINT) AS lag_s
 FROM a
-WHERE src = 1 AND m_rt IS NOT NULL
-  AND CAST(floor(epoch(t)) AS BIGINT) - CAST(floor(epoch(m_rt)) AS BIGINT) <= {ASOF_TOL_S}
+WHERE src = 1 AND mm IS NOT NULL
+  AND CAST(floor(epoch(t)) AS BIGINT)
+      - CAST(floor(epoch(struct_extract(mm, 'rt'))) AS BIGINT) <= {ASOF_TOL_S}
 """
 
 

@@ -52,9 +52,15 @@ def token_count_bpe_expr(col: str, dialect: str = "spark") -> str:
     unicode, and mixed-whitespace inputs in tests. Counts pretokens, the
     standard upper-bound proxy for BPE token counts."""
     if dialect == "duckdb":
+        # DuckDB string literals are standard SQL: no backslash processing
         pat = _BPE_PAT.replace("'", "''")
         return f"len(regexp_extract_all({col}, '{pat}'))"
-    pat = _BPE_PAT.replace("'", "\\'")
+    # Spark's SQL parser unescapes backslashes inside string literals
+    # (spark.sql.parser.escapedStringLiterals=false default), so \s must be
+    # shipped as \\s or the regex silently degrades to a literal 's' —
+    # backslashes FIRST, then quotes (the quote escape adds a backslash
+    # that must not be doubled)
+    pat = _BPE_PAT.replace("\\", "\\\\").replace("'", "\\'")
     return f"regexp_count({col}, '{pat}')"
 
 
@@ -161,10 +167,12 @@ def winnow_fingerprints_udf(kgram: int = 8, window: int = 4):
     DISTINCT selected values sorted ascending. Guarantees: any shared
     substring of length >= kgram + window - 1 contributes at least one
     shared fingerprint; expected density is 2 / (window + 1) fingerprints
-    per position. Texts shorter than ``kgram`` codepoints fold as one
-    whole-string window (engine-only branch — same contract as
-    ``fingerprint_udf``: the driver fixture's documents are all longer, the
-    short branch is pytest-covered).
+    per position. Texts with fewer position hashes than ``window`` shrink
+    the min window to what exists (one whole-span fingerprint — replayed by
+    the SQL oracle's clipped window); texts shorter than ``kgram``
+    codepoints fold as one whole-string window (engine-only branch — same
+    contract as ``fingerprint_udf``: the driver fixture's documents are all
+    longer, the short branch is pytest-covered).
     """
     mask63 = np.uint64(0x7FFFFFFFFFFFFFFF)
 

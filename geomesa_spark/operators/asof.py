@@ -7,11 +7,13 @@ track-enrichment analog of the reference's event-time merge views,
 query instant wins).
 
 Spark-first shape — the union-and-window formulation, fully native:
-both sides are tagged and unioned (right payload columns null on left
-rows and vice versa), then ONE window partitioned by the join key and
-ordered by (event time, side tag, right-row tie-break) carries the last
-non-null right payload forward onto each left row (``last(...,
-ignorenulls=True)`` with an unbounded-preceding row frame). That is a
+both sides are tagged and unioned (the right row packed into ONE struct
+column, NULL on left rows), then ONE window partitioned by the join key
+and ordered by (event time, side tag, right-row tie-break) carries the
+last non-null right-row STRUCT forward onto each left row (``last(...,
+ignorenulls=True)`` with an unbounded-preceding row frame — the struct
+carry is atomic, so a NULL payload field in the matched row stays NULL
+instead of backfilling from an older right row). That is a
 single shuffle on the key — same cost as one equi-join — with no
 range-condition blowup (a naive ``l.ts >= r.ts`` theta-join is O(n·m)
 per key) and no per-key driver state. Skew follows the key distribution
@@ -27,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -50,16 +53,20 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in on + [right_ts]]
     lcols = [c for c in left.columns if c not in on]
 
+    # the matched right row is carried as ONE struct (NULL on left rows),
+    # so last(ignorenulls) either matches a whole right row or none — a
+    # per-column carry would backfill a NULL payload field from an OLDER
+    # right row, fabricating a mixed row no single right row ever held
+    m_type = T.StructType(
+        [T.StructField("__rt", right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     l_sel = left.select(
         *on,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__src"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in right_cols
-        ],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rt"),
+        F.lit(None).cast(m_type).alias("__m"),
         F.lit(None).cast(right.schema[tie_col].dataType).alias("__tie")
         if tie_col
         else F.lit(None).cast("long").alias("__tie"),
@@ -72,8 +79,10 @@ def asof_join(
             F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
             for c in lcols
         ],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(right_ts).alias("__rt"),
+        F.struct(
+            F.col(right_ts).alias("__rt"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ).alias("__m"),
         (F.col(tie_col) if tie_col else F.lit(0).cast("long")).alias("__tie"),
     )
     u = l_sel.unionByName(r_sel)
@@ -86,16 +95,14 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    matched = F.last("__m", ignorenulls=True).over(w)
     attached = u.select(
         *on,
         "__t",
         "__src",
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"r_{c}")
-            for c in right_cols
-        ],
-        F.last("__rt", ignorenulls=True).over(w).alias("__mrt"),
+        *[matched[c].alias(f"r_{c}") for c in right_cols],
+        matched["__rt"].alias("__mrt"),
     )
     out = (
         attached.filter((F.col("__src") == 1) & F.col("__mrt").isNotNull())

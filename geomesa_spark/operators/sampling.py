@@ -59,14 +59,17 @@ _MASK30 = (1 << 30) - 1
 
 def wegman_constants(salt: int) -> tuple[int, int, int, int]:
     """(a1, a2, a3, b) < 2^31, derived from ``salt`` by splitmix64 steps
-    (public-domain constants) — stateless, reproducible on any engine/driver."""
+    (the shared public-domain constants in :mod:`.dedup` — one source of
+    truth for the recipe) — stateless, reproducible on any engine/driver."""
+    from .dedup import _SPLITMIX_C1, _SPLITMIX_C2, _SPLITMIX_C3
+
     out = []
     x = salt & 0xFFFFFFFFFFFFFFFF
     for _ in range(4):
-        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = (x + _SPLITMIX_C1) & 0xFFFFFFFFFFFFFFFF
         z = x
-        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * _SPLITMIX_C2) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * _SPLITMIX_C3) & 0xFFFFFFFFFFFFFFFF
         z = z ^ (z >> 31)
         out.append((z & 0x7FFFFFFF) | 1)  # odd, < 2^31
     return tuple(out)

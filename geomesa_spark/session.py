@@ -42,13 +42,23 @@ def get_spark(
         # sources.parquet_scan.scan_parquet_arrow, which bypasses the JVM
         # reader entirely.
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
-        # Python workers fork from one daemon process per executor; preload
-        # the numpy/pandas/pyarrow + engine import cascade there so forked
-        # workers inherit it copy-on-write instead of each paying ~0.9 s on
-        # its first task (workers are reaped between stages, so a warmup
-        # stage cannot pre-pay this). See geomesa_spark/worker_daemon.py.
-        .config("spark.python.daemon.module", "geomesa_spark.worker_daemon")
     )
+    # Python workers fork from one daemon process per executor; preload the
+    # numpy/pandas/pyarrow + engine import cascade there so forked workers
+    # inherit it copy-on-write instead of each paying ~0.9 s on its first
+    # task (idle workers are reaped between stages, so a warmup stage
+    # cannot pre-pay this). The daemon module must be importable where the
+    # daemon STARTS — guaranteed here because this factory always builds
+    # local[N] (executor shares the driver cwd/sys.path, checked via
+    # find_spec). A multi-node deployment must ship the package on executor
+    # PYTHONPATH (spark.executorEnv.PYTHONPATH / --archives) before setting
+    # this conf, or leave it unset: see geomesa_spark/worker_daemon.py.
+    import importlib.util
+
+    if os.environ.get("SPARK_GRAFT_NO_DAEMON_PRELOAD") != "1" and (
+        importlib.util.find_spec("geomesa_spark.worker_daemon") is not None
+    ):
+        b = b.config("spark.python.daemon.module", "geomesa_spark.worker_daemon")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -11,9 +11,17 @@ so a 32-core local session pays ~30 CPU-seconds of imports again on the
 next Python stage. On a real cluster the preload happens once per
 executor, exactly where a 1000-executor deployment wants it.
 
-Wired up by session.get_spark via spark.python.daemon.module. Imports are
-best-effort: if the engine package is not importable in the worker
-environment the daemon still starts and workers fall back to lazy imports.
+Wired up by session.get_spark via spark.python.daemon.module — gated on
+find_spec there, which is a valid probe because that factory always builds
+local[N] (the executor shares the driver's cwd/sys.path, so `python -m
+geomesa_spark.worker_daemon` resolves the same way). NOTE: the daemon
+module itself must be importable wherever the daemon process starts — if
+it is not, the daemon fails to launch and every Python stage fails; the
+try/except below only degrades the OPTIONAL preloads (e.g. a stripped
+deployment missing a heavy dependency), it cannot rescue a missing
+package. On a multi-node cluster, ship the package on executor PYTHONPATH
+(spark.executorEnv.PYTHONPATH or --archives) before setting the conf, or
+set SPARK_GRAFT_NO_DAEMON_PRELOAD=1 to leave the stock daemon in place.
 """
 
 from __future__ import annotations

@@ -65,3 +65,22 @@ def test_asof_join_left_columns_pass_through(spark):
     got = asof_join(l, r, on="k", right_cols=["rid"], tie_col="rid").toPandas()
     row = got.iloc[0]
     assert (row.k, row.eid, row.tag, row.r_rid, row.lag_s) == (1, 10, "x", 77, 10)
+
+
+def test_asof_join_null_payload_not_backfilled(spark):
+    """The matched right row is carried atomically: a NULL payload field in
+    the most recent right row must stay NULL, not backfill from an older
+    right row (regression for the per-column ignorenulls carry)."""
+    l = spark.createDataFrame(
+        pd.DataFrame([(1, 100, _ts(30.0))], columns=["k", "eid", "ts"])
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 901, _ts(10.0), 5.0), (1, 902, _ts(20.0), None)],
+            columns=["k", "rid", "ts", "value"],
+        )
+    )
+    got = asof_join(l, r, on="k", right_cols=["rid", "value"], tie_col="rid").toPandas()
+    row = got.iloc[0]
+    assert row.r_rid == 902 and row.lag_s == 10
+    assert pd.isna(row.r_value)  # NOT 5.0 from the older row

@@ -272,3 +272,45 @@ def test_dup_span_stats_disjoint_islands(spark):
     out = {r["doc_id"]: r for r in dup_span_stats(docs, window=8).collect()}
     assert out[1]["dup_chars"] == 16  # 8 + 8, filler not bridged
     assert out[2]["dup_chars"] == 16
+
+
+def test_winnow_oracle_short_band_parity(spark):
+    """Docs with fewer position hashes than the winnow window (length in
+    [kgram, kgram+window-2]) shrink the min window in the engine; the SQL
+    oracle's clipped window must replay that — regression for the band
+    where the oracle previously emitted zero fingerprints."""
+    import duckdb
+    import pandas as pd
+
+    from geomesa_spark.catalog import WINNOW_K, WINNOW_W, _oracle_text_winnow_pairs
+    from geomesa_spark.operators.dedup import winnow_overlap_pairs
+
+    assert WINNOW_K == 8 and WINNOW_W == 4  # band below assumes these
+    pdf = pd.DataFrame(
+        [
+            (1, "abcdefghi"),   # 9 chars: nh=2 < window
+            (2, "abcdefghi"),
+            (3, "qrstuvwxyz"),  # 10 chars: nh=3 < window
+            (4, "qrstuvwxyz"),
+            (5, "a completely different long document body " * 3),
+        ],
+        columns=["doc_id", "text"],
+    )
+    eng = winnow_overlap_pairs(
+        spark.createDataFrame(pdf),
+        kgram=WINNOW_K, window=WINNOW_W,
+        min_shared=1, max_df=50, min_overlap=0.0,
+    )
+    got = sorted(
+        tuple(r) for r in eng.select("id_a", "id_b", "n_shared", "overlap").collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            _oracle_text_winnow_pairs(min_shared=1, max_df=50, min_overlap=0.0)
+        ).fetchall()
+    )
+    assert got == want
+    assert (1, 2, 1, 1.0) in got and (3, 4, 1, 1.0) in got

@@ -273,6 +273,13 @@ def test_bpe_token_count_parity(spark):
         "",
         "éàü unicode chars?!",
         "a'b''c",
+        # punct-whitespace-punct: regression for the \s escaping bug where
+        # Spark's literal unescaping turned [^A-Za-z0-9\s]+ into
+        # [^A-Za-z0-9s]+ (swallowing whitespace between punctuation runs)
+        "a ! !",
+        "x . .",
+        "end. (note",
+        "?? \t ??",
     ]
     df = spark.createDataFrame([(t,) for t in texts], ["t"])
     got = [
