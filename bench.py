@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "minhash_pairs_banded",
     "img_phash_pairs",
     "text_winnow_pairs",
+    "text_dup_spans",
     "text_bm25",
     "events_sessionize",
     "events_asof",

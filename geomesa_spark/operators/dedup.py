@@ -412,12 +412,14 @@ def dup_span_stats(
 
     Plan — fully native, zero Python stages:
 
-    1. every window position via ``posexplode(sequence(...))`` +
-       ``substring`` (whole-stage codegen);
-    2. spans seen in >= 2 distinct documents (distinct + groupBy + count);
-    3. occurrences of those spans rejoined (one row per span on the build
-       side — no fan-out) — only (doc_id, position) rows survive;
-    4. per-doc interval union of [i, i+window) via gaps-and-islands window
+    1. every window position via ``explode(sequence(...))`` + ``substring``
+       (whole-stage codegen);
+    2. cross-document spans in ONE window pass over the span key:
+       ``min(doc_id) over (partition by span) != max(doc_id) over (...)``
+       is exactly "appears in >= 2 distinct documents" — no distinct, no
+       groupBy+self-join, and the span frame is computed once (a
+       join-based formulation recomputes the explode for each side);
+    3. per-doc interval union of [i, i+window) via gaps-and-islands window
        functions (running max of span end; a new island starts where the
        current position clears it), then covered chars per island and per
        doc.
@@ -432,8 +434,10 @@ def dup_span_stats(
     millions of docs is one build-side row, so no skew amplification.
     """
     w = int(window)
+    from pyspark.sql import Window
+
     spans = (
-        df.filter(F.length(text_col) >= w)
+        _split_small_input(df.filter(F.length(text_col) >= w).select(id_col, text_col))
         .select(
             F.col(id_col),
             F.explode(F.expr(f"sequence(1, length({text_col}) - {w} + 1)")).alias("i"),
@@ -441,17 +445,13 @@ def dup_span_stats(
         )
         .select(id_col, "i", F.expr(f"substring({text_col}, i, {w})").alias("sp"))
     )
-    dup_sp = (
-        spans.select(id_col, "sp")
-        .distinct()
-        .groupBy("sp")
-        .count()
-        .filter(F.col("count") >= 2)
-        .select("sp")
+    by_sp = Window.partitionBy("sp")
+    occ = (
+        spans.withColumn("__mn", F.min(id_col).over(by_sp))
+        .withColumn("__mx", F.max(id_col).over(by_sp))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select(id_col, "i")
     )
-    occ = spans.join(dup_sp, "sp").select(id_col, "i")
-
-    from pyspark.sql import Window
 
     by_doc = Window.partitionBy(id_col).orderBy("i")
     prev_end = F.max(F.col("i") + F.lit(w)).over(
