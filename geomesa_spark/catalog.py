@@ -1061,7 +1061,8 @@ cov AS (SELECT doc_id, max(i) + {w} - min(i) AS c FROM gid GROUP BY doc_id, g),
 agg AS (SELECT doc_id, sum(c) AS dup_chars FROM cov GROUP BY doc_id)
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
-       round(CAST(coalesce(a.dup_chars, 0) AS DOUBLE) / length(d.text), 4) AS dup_ratio
+       round(CAST(coalesce(a.dup_chars, 0) AS DOUBLE)
+             / greatest(length(d.text), 1), 4) AS dup_ratio
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 

@@ -478,7 +478,9 @@ def dup_span_stats(
             F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias("dup_chars"),
             F.round(
                 F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
-                / F.col("__len").cast("double"),
+                # greatest(len, 1): empty docs have dup_chars 0, and ANSI
+                # mode turns 0/0 into an error rather than NaN
+                / F.greatest(F.col("__len"), F.lit(1)).cast("double"),
                 4,
             ).alias("dup_ratio"),
         )

@@ -314,3 +314,44 @@ def test_winnow_oracle_short_band_parity(spark):
     )
     assert got == want
     assert (1, 2, 1, 1.0) in got and (3, 4, 1, 1.0) in got
+
+
+def test_dup_span_stats_fuzz_vs_brute_force(spark):
+    """Seeded fuzz: random low-alphabet corpora (forcing heavy span
+    collisions, short docs, empty docs) against a brute-force set-based
+    reference for the covered-character count."""
+    import numpy as np
+
+    from geomesa_spark.operators.dedup import dup_span_stats
+
+    W = 4
+    rng = np.random.RandomState(7)
+    alphabet = np.array(list("ab "))
+
+    def brute(docs):
+        span_sets = {
+            i: {t[p : p + W] for p in range(len(t) - W + 1)} for i, t in docs
+        }
+        out = {}
+        for i, t in docs:
+            covered = set()
+            for p in range(max(len(t) - W + 1, 0)):
+                sp = t[p : p + W]
+                if any(j != i and sp in s for j, s in span_sets.items()):
+                    covered.update(range(p, p + W))
+            out[i] = len(covered)
+        return out
+
+    for trial in range(6):
+        n = int(rng.randint(3, 9))
+        docs = []
+        for i in range(n):
+            ln = int(rng.randint(0, 26))
+            docs.append((i, "".join(rng.choice(alphabet, ln))))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: r["dup_chars"]
+            for r in dup_span_stats(df, window=W).collect()
+        }
+        want = brute(docs)
+        assert got == want, f"trial {trial}: {docs}"
