@@ -7,3 +7,4 @@ from .live_view import (  # noqa: F401
     merged_view,
     stateful_live_view,
 )
+from .sessions import streaming_sessionize  # noqa: F401

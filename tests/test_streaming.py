@@ -253,3 +253,98 @@ def test_read_feature_stream_files_and_kafka_guard(spark, tmp_path):
             spark, "kafka", "fid string", kafka_bootstrap="host:9092", topic="t"
         )
     assert "kafka" in str(ei.value).lower()
+
+
+EV_SCHEMA = "user_id long, ts timestamp"
+
+
+def _events(rows):
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return pdf
+
+
+def test_streaming_sessionize_batch_parity(spark):
+    """session_window on a batch frame matches the oracle-gated batch
+    sessionize row-for-row, including AT the exact gap boundary (both use
+    the strict-> rule: an event exactly gap_s later merges)."""
+    from geomesa_spark.operators.sessions import sessionize
+    from geomesa_spark.streaming.sessions import streaming_sessionize
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),   # same session (gap 600 < 1800)
+        (1, "2024-01-01 01:00:00"),   # new session (gap 3000 > 1800)
+        (2, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 02:00:00"),
+        (3, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(_events(rows), schema=EV_SCHEMA)
+    got = sorted(
+        tuple(r)
+        for r in streaming_sessionize(df, gap_s=1800)
+        .select("user_id", "start_s", "end_s", "n_events", "duration_s")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sessionize(df, gap_s=1800)
+        .select("user_id", "start_s", "end_s", "n_events", "duration_s")
+        .collect()
+    )
+    assert got == want and len(got) == 5
+
+    # exact-boundary convention: gap == gap_s merges in BOTH (strict >);
+    # one tick past the gap splits in both
+    b = spark.createDataFrame(
+        _events([(9, "2024-01-01 00:00:00"), (9, "2024-01-01 00:30:00")]),
+        schema=EV_SCHEMA,
+    )
+    assert streaming_sessionize(b, gap_s=1800).count() == 1
+    assert sessionize(b, gap_s=1800).count() == 1
+    c = spark.createDataFrame(
+        _events([(9, "2024-01-01 00:00:00"), (9, "2024-01-01 00:30:01")]),
+        schema=EV_SCHEMA,
+    )
+    assert streaming_sessionize(c, gap_s=1800).count() == 2
+    assert sessionize(c, gap_s=1800).count() == 2
+
+
+def test_streaming_sessionize_file_stream(spark, tmp_path):
+    """Real file-source stream: sessions merge across micro-batches via the
+    session_window state store and match the batch result."""
+    from geomesa_spark.streaming.sessions import streaming_sessionize
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    chunk1 = [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:05:00")]
+    chunk2 = [(1, "2024-01-01 00:10:00"),   # merges into user 1's session
+              (1, "2024-01-01 03:00:00")]   # far later -> second session
+    spark.createDataFrame(_events(chunk1), schema=EV_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(str(src))
+    q = (
+        streaming_sessionize(stream, gap_s=1800, watermark_s=3600)
+        .writeStream.format("memory")
+        .queryName("sess_t1")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(_events(chunk2), schema=EV_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.start_s, r.end_s, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_t1").collect()
+        )
+    finally:
+        q.stop()
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert got == [
+        (1, base, base + 600, 2),             # chunk-2 event merged in
+        (1, base + 10800, base + 10800, 1),   # second session
+        (2, base + 300, base + 300, 1),
+    ]
