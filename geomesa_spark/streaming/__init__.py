@@ -7,4 +7,5 @@ from .live_view import (  # noqa: F401
     merged_view,
     stateful_live_view,
 )
+from .density import streaming_cell_density  # noqa: F401
 from .sessions import streaming_sessionize  # noqa: F401

@@ -348,3 +348,84 @@ def test_streaming_sessionize_file_stream(spark, tmp_path):
         (1, base + 10800, base + 10800, 1),   # second session
         (2, base + 300, base + 300, 1),
     ]
+
+
+PT_SCHEMA = "lon double, lat double, ts timestamp"
+
+
+def _points(rows):
+    pdf = pd.DataFrame(rows, columns=["lon", "lat", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return pdf
+
+
+def test_streaming_cell_density_batch_parity(spark):
+    """The streaming heatmap's cell column is the SAME native expression as
+    the batch path: counts match an independent batch groupBy."""
+    from geomesa_spark.operators.spatial_join import add_cell_column
+    from geomesa_spark.streaming.density import streaming_cell_density
+
+    rows = [
+        (-73.98, 40.75, "2024-01-01 00:00:10"),
+        (-73.98, 40.75, "2024-01-01 00:01:10"),   # same cell, same window
+        (-73.98, 40.75, "2024-01-01 00:07:00"),   # same cell, NEXT window
+        (2.35, 48.85, "2024-01-01 00:00:30"),     # different cell
+    ]
+    df = spark.createDataFrame(_points(rows), schema=PT_SCHEMA)
+    got = sorted(
+        tuple(r)
+        for r in streaming_cell_density(df, res=10, window_s=300).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in add_cell_column(df, 10)
+        .groupBy(
+            (F.floor(F.unix_timestamp("ts") / 300) * 300).alias("window_start_s"),
+            "cell",
+        )
+        .agg(F.count("*").cast("long").alias("weight"))
+        .collect()
+    )
+    assert got == want and len(got) == 3
+    assert sorted(w for _, _, w in got) == [1, 1, 2]
+
+
+def test_streaming_cell_density_file_stream(spark, tmp_path):
+    """Live heatmap over a real file-source stream: counts accumulate
+    across micro-batches within the same (window, cell) state."""
+    from geomesa_spark.streaming.density import streaming_cell_density
+
+    src = tmp_path / "dens_src"
+    src.mkdir()
+    spark.createDataFrame(
+        _points([(-73.98, 40.75, "2024-01-01 00:00:10")]), schema=PT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(PT_SCHEMA).parquet(str(src))
+    q = (
+        streaming_cell_density(stream, res=10, window_s=300, watermark_s=600)
+        .writeStream.format("memory")
+        .queryName("dens_t1")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            _points(
+                [
+                    (-73.98, 40.75, "2024-01-01 00:02:00"),  # same window+cell
+                    (2.35, 48.85, "2024-01-01 00:01:00"),    # other cell
+                ]
+            ),
+            schema=PT_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got = sorted(
+            (r.window_start_s, r.weight)
+            for r in spark.sql("SELECT * FROM dens_t1").collect()
+        )
+    finally:
+        q.stop()
+    base = 1704067200
+    assert got == [(base, 1), (base, 2)]  # NYC cell accumulated to 2
