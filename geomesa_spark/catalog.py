@@ -305,9 +305,14 @@ def q_geo_knn_table(spark, sf_dir):
         F.col("lon").alias("qlon"),
         F.col("lat").alias("qlat"),
     )
+    # radius=4: size the FIRST disk so round 1 usually contains k
+    # neighbors even for sparse-cell queries — under-sizing costs whole
+    # extra rounds (join + window + anti-join each), over-sizing only
+    # (2R+1)^2 explode rows per query (measured 9.9 s -> 2.3 s at sf0.1;
+    # results identical — the guarantee radius makes any start exact)
     out = knn_join_table(
         pts, queries, k=KNN_K, point_id="event_id",
-        metric="planar", res=8,
+        metric="planar", res=8, radius=4,
     )
     return out.select(
         F.col("query_id").cast("long"),

@@ -80,6 +80,12 @@ def knn_join_table(
     queries re-enter with doubled radius; the driver only ever sees a
     resolved/unresolved COUNT, never rows. Returns
     (query_id, point_id, dist, rnk).
+
+    Sizing ``radius``: any start is EXACT (the kth-distance guarantee
+    gates resolution), so pick it for cost — the first disk should
+    usually contain k neighbors for the SPARSEST expected query cell.
+    Under-sizing pays whole extra rounds (each a join + window top-k +
+    anti-join); over-sizing pays only (2R+1)^2 explode rows per query.
     """
     from .spatial_join import add_cell_column
 
