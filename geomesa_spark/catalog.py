@@ -1248,13 +1248,14 @@ def q_events_sessionize(spark, sf_dir):
 
 def _oracle_events_sessionize():
     return f"""
-WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
-g AS (SELECT user_id, ts, ep,
+WITH e AS (SELECT user_id, ts, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+g AS (SELECT user_id, ts, event_id, ep,
              CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > {SESSION_GAP_S}
                   THEN 1 ELSE 0 END AS nw
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (SELECT user_id, ep,
-             sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+             sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
       FROM g)
 SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_idx AS BIGINT) AS session_idx,

@@ -20,8 +20,9 @@ per key) and no per-key driver state. Skew follows the key distribution
 exactly like any keyed window; AQE skew handling applies.
 
 Determinism: right rows tied on (key, ts) are ordered by ``tie_col``
-(ascending — the LAST one wins), so the carried payload does not depend
-on partition-internal order; ties between left and right rows resolve
+(ascending — the LAST one wins) when given, else by a content hash of
+the carried payload struct, so the carried payload never depends on
+partition-internal order; ties between left and right rows resolve
 right-first (``__src`` ordering), giving at-or-before semantics.
 """
 
@@ -83,7 +84,16 @@ def asof_join(
             F.col(right_ts).alias("__rt"),
             *[F.col(c).alias(c) for c in right_cols],
         ).alias("__m"),
-        (F.col(tie_col) if tie_col else F.lit(0).cast("long")).alias("__tie"),
+        (
+            F.col(tie_col)
+            if tie_col
+            # no tie column: break (key, ts) ties by a content hash of the
+            # carried payload so the winner depends only on row VALUES,
+            # never on partition-internal arrival order
+            else F.xxhash64(
+                F.struct(F.col(right_ts), *[F.col(c) for c in right_cols])
+            )
+        ).alias("__tie"),
     )
     u = l_sel.unionByName(r_sel)
     w = (

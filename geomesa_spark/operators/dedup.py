@@ -503,9 +503,9 @@ def connected_components(
 
     Plan: iterative min-label propagation — per round ONE equi-join of the
     (u, v) edge list against the current (u, label) frame plus a min
-    aggregate, so only id/label longs ever shuffle; each round's frame is
-    persisted and the previous round's unpersisted after the new one
-    materializes (knn_join_table's round contract). Converges in
+    aggregate, so only id/label longs ever shuffle; each round's label
+    frame is ``localCheckpoint``-ed to truncate lineage (superseded rounds
+    are freed by the ContextCleaner once unreferenced). Converges in
     graph-diameter rounds — near-dup graphs are shallow (exact-dup cliques
     have diameter 1, chain-of-edits components a few hops). Raises on
     non-convergence after ``max_iter`` rather than returning partial labels.
@@ -667,7 +667,14 @@ def hamming_neardup_pairs(
     Candidate volume per chunk value is bounded by the chunk width
     (64/(k+1) bits); the analog of the reference's attribute-index bucket
     join (AttributeIndex key collision groups)."""
-    n_chunks = min(max_hamming + 1, 64)
+    if not 0 <= max_hamming <= 63:
+        # 64 one-bit chunks cover max_hamming=63; at >=64 every pair
+        # qualifies and pigeonhole can no longer guarantee a shared chunk —
+        # refuse rather than silently drop qualifying pairs
+        raise ValueError(
+            f"max_hamming must be in [0, 63] for 64-bit hashes, got {max_hamming}"
+        )
+    n_chunks = max_hamming + 1
     with_h = df.select(F.col(id_col), F.col(hash_col).alias("__sh"))
 
     chunks = with_h.select(

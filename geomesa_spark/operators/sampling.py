@@ -53,7 +53,6 @@ def sample_fraction(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame
 # partially-written job, keeps the SAME rows (unlike df.sample, whose
 # output depends on the partitioning).
 
-SAMPLE_PRIME = (1 << 61) - 1  # Mersenne prime 2^61-1
 _MASK30 = (1 << 30) - 1
 
 

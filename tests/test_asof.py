@@ -84,3 +84,26 @@ def test_asof_join_null_payload_not_backfilled(spark):
     row = got.iloc[0]
     assert row.r_rid == 902 and row.lag_s == 10
     assert pd.isna(row.r_value)  # NOT 5.0 from the older row
+
+
+def test_asof_join_no_tie_col_is_order_independent(spark):
+    """Without tie_col, (key, ts)-tied right rows resolve by a content hash
+    of the payload — the SAME winner at any input order or parallelism."""
+    rows = [(1, 900, 20.0, 1.5), (1, 901, 20.0, 2.5), (1, 902, 20.0, 3.5)]
+    l = spark.createDataFrame(
+        pd.DataFrame([(1, _ts(30.0))], columns=["user_id", "ts"])
+    )
+    winners = set()
+    for order in (rows, rows[::-1], [rows[1], rows[2], rows[0]]):
+        r = spark.createDataFrame(
+            pd.DataFrame(
+                [(u, e, _ts(t), v) for u, e, t, v in order],
+                columns=["user_id", "event_id", "ts", "value"],
+            )
+        ).repartition(4)
+        got = asof_join(
+            l, r, on="user_id", right_cols=["event_id", "value"]
+        ).toPandas()
+        assert len(got) == 1
+        winners.add((int(got.r_event_id[0]), float(got.r_value[0])))
+    assert len(winners) == 1

@@ -123,6 +123,18 @@ def test_hamming_neardup_pairs_stored_hash(spark):
     assert any(0 < d <= 6 for d in expect.values())  # true near-dups present
 
 
+def test_hamming_neardup_rejects_degenerate_threshold(spark):
+    """max_hamming >= 64 voids the pigeonhole guarantee on 64-bit hashes
+    (x and ~x qualify but share no chunk) — the operator must refuse."""
+    from geomesa_spark.operators.dedup import hamming_neardup_pairs
+
+    df = spark.createDataFrame(pd.DataFrame({"img_id": ["a"], "ph": [0]}))
+    with pytest.raises(ValueError, match=r"\[0, 63\]"):
+        hamming_neardup_pairs(df, "ph", "img_id", max_hamming=64)
+    with pytest.raises(ValueError, match=r"\[0, 63\]"):
+        hamming_neardup_pairs(df, "ph", "img_id", max_hamming=-1)
+
+
 def test_simhash_chunk_bounds():
     for n in (2, 4, 9, 17, 64):
         b = simhash_chunk_bounds(n)
