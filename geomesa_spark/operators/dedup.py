@@ -259,6 +259,13 @@ def minhash_lsh_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
+    # AQE coalesces the distinct()'s exchange to ~1 partition (the id-pair
+    # frame is a few MB) and the broadcast text joins preserve that — which
+    # serialized the ENTIRE Python verify on one core (measured: ~8 s of a
+    # 10 s warm sf0.1 run inside one task). Re-spreading costs one tiny
+    # id-pair shuffle BEFORE the texts are attached; at production scale
+    # the candidate frame exceeds the advisory size and this is a no-op.
+    cand = _split_small_input(cand)
 
     texts = df.select(F.col(id_col), F.col(text_col))
     joined = (
