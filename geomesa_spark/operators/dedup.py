@@ -366,7 +366,10 @@ def winnow_overlap_pairs(
     hot = fps.groupBy("fp").agg(F.count("*").alias("__df")).filter(
         F.col("__df") > max_df
     )
-    exf = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    # the guarded frame feeds THREE consumers (both self-join sides + the
+    # per-doc sizes aggregate) — persist it too, or each consumer re-runs
+    # the doc-frequency aggregate and the anti-join over the full fp frame
+    exf = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti").persist()
 
     sizes = exf.groupBy(id_col).agg(F.count("*").alias("__nfp"))
     l, r = exf.alias("l"), exf.alias("r")
