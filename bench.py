@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "geo_pip_convex",
     "geo_cell_density",
     "geo_tile_density",
+    "geo_tile_pyramid",
     "geo_timebin_cells",
     "geo_knn",
     "geo_knn_table",

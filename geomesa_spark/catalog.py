@@ -173,6 +173,47 @@ FROM pts GROUP BY 1
 """
 
 
+PYRAMID_LEVELS = 3
+
+
+def q_geo_tile_pyramid(spark, sf_dir):
+    """Tile-pyramid rollup: density at CELL_RES plus every coarser zoom down
+    to CELL_RES - 2, built from ONE scan of the raw points — the coarse
+    levels aggregate the already-reduced fine-cell frame, not the table."""
+    from .operators.density import tile_pyramid
+
+    pts = _points(spark, sf_dir)
+    return tile_pyramid(pts, CELL_RES, PYRAMID_LEVELS, weight="value").select(
+        "res",
+        "cell",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("weight"), 4).alias("weight"),
+    )
+
+
+def _oracle_geo_tile_pyramid():
+    expr = cells.cell_sql_expr("lon", "lat", CELL_RES)
+    # replay each zoom level directly over the rows: ancestor = drop 2 bits
+    # per level (floor-div by 4^k) — mathematically identical to the
+    # engine's rollup over fine-cell partials; float disagreement is ~1e-12
+    # relative, far below the 4dp rounding
+    levels = []
+    for r in range(CELL_RES - PYRAMID_LEVELS + 1, CELL_RES + 1):
+        k = CELL_RES - r
+        levels.append(
+            f"SELECT CAST({r} AS INT) AS res,"
+            f" CAST(floor(cell / {1 << (2 * k)}) AS BIGINT) AS cell,"
+            f" CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS weight"
+            f" FROM f GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(levels)
+    return f"""
+WITH pts AS (SELECT value, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+f AS (SELECT {expr} AS cell, value FROM pts)
+{union}
+"""
+
+
 def q_geo_tile_density(spark, sf_dir):
     from .operators.density import density
 
@@ -2282,6 +2323,7 @@ QUERIES = {
     "geo_pip_convex": (q_geo_pip_convex, _oracle_geo_pip_convex()),
     "geo_cell_density": (q_geo_cell_density, _oracle_geo_cell_density()),
     "geo_tile_density": (q_geo_tile_density, _oracle_geo_tile_density()),
+    "geo_tile_pyramid": (q_geo_tile_pyramid, _oracle_geo_tile_pyramid()),
     "geo_timebin_cells": (q_geo_timebin_cells, _oracle_geo_timebin_cells()),
     "geo_z3_cells": (q_geo_z3_cells, _oracle_geo_z3_cells()),
     "geo_knn": (q_geo_knn, _oracle_geo_knn()),

@@ -86,3 +86,48 @@ def cell_density(df: DataFrame, res: int, lon: str = "lon", lat: str = "lat",
         .groupBy("cell")
         .agg(F.count("*").alias("n"), F.sum("__w").alias("weight"))
     )
+
+
+def tile_pyramid(
+    df: DataFrame,
+    max_res: int,
+    levels: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    weight: str | None = None,
+) -> DataFrame:
+    """-> (res, cell, n, weight): the density rollup at every zoom level in
+    ``[max_res - levels + 1, max_res]`` — the tile-pyramid build every map
+    renderer runs over a heatmap layer (the reference serves one DensityScan
+    per zoom, re-scanning the table each time; DensityScan.scala:34-106).
+
+    Spark-first shape: the RAW data is aggregated ONCE at the finest
+    resolution (map-side partial combine, one shuffle keyed by cell), then
+    the pyramid is built from the already-reduced cell frame — each fine
+    cell explodes into its ``levels`` (res, ancestor) rows (ancestor = drop
+    2 bits per level, ``cells.parent_sql_expr``) and a second aggregate
+    sums counts/weights per (res, cell). At 10^12 input rows the second
+    shuffle moves only O(distinct fine cells x levels) rows, so adding
+    zoom levels never re-reads the table.
+    """
+    from ..core import cells
+
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    if max_res - (levels - 1) < 0:
+        raise ValueError(
+            f"levels={levels} descends below resolution 0 from max_res={max_res}"
+        )
+    base = cell_density(df, max_res, lon, lat, weight)
+    lv = [
+        F.struct(
+            F.lit(r).alias("res"),
+            F.expr(cells.parent_sql_expr("cell", max_res, r)).alias("pcell"),
+        )
+        for r in range(max_res - levels + 1, max_res + 1)
+    ]
+    return (
+        base.select(F.explode(F.array(*lv)).alias("lv"), "n", "weight")
+        .groupBy(F.col("lv.res").alias("res"), F.col("lv.pcell").alias("cell"))
+        .agg(F.sum("n").alias("n"), F.sum("weight").alias("weight"))
+    )
