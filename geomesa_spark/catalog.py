@@ -2161,6 +2161,53 @@ FROM imgs i JOIN xs ON xs.id = i.id JOIN ys ON ys.id = i.id
 """
 
 
+MOSAIC_RES = 5
+
+
+def q_img_tile_mosaic(spark, sf_dir):
+    """Representative image per map tile (mosaic/preview pick): the
+    highest-resolution image in each Z2 cell, ties broken by image_id —
+    ONE max_by aggregate, no window sort. Reads ONLY pruned metadata
+    columns from the binary-heavy image parquet (the bytes column never
+    leaves the scan; ReadSchema in the plan shows the 5-column projection),
+    so the pick never pays the payload."""
+    from .fixtures import ensure_images_parquet
+    from .operators.spatial_join import add_cell_column
+
+    n = _img_n(spark, sf_dir)
+    path = ensure_images_parquet(spark, n)
+    meta = spark.read.parquet(path).select("image_id", "w", "h", "lon", "lat")
+    g = add_cell_column(meta, MOSAIC_RES, out="cell").withColumn(
+        "__px", (F.col("w") * F.col("h")).cast("long")
+    )
+    return g.groupBy("cell").agg(
+        F.count("*").alias("n_images"),
+        F.max_by(
+            F.col("image_id"), F.struct(F.col("__px"), F.col("image_id"))
+        ).alias("rep_image_id"),
+        F.max("__px").alias("rep_pixels"),
+    )
+
+
+def _oracle_img_tile_mosaic():
+    from .oracle_sql import images_meta_cte
+
+    expr = cells.cell_sql_expr("lon", "lat", MOSAIC_RES)
+    # max_by(image_id, struct(px, image_id)) == among the rows sharing the
+    # cell's max pixel count, the lexicographically greatest image_id
+    return f"""
+WITH {images_meta_cte(IMG_N)},
+g AS (SELECT {expr} AS cell, image_id,
+             CAST(w AS BIGINT) * CAST(h AS BIGINT) AS px
+      FROM imgs),
+m AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_images, max(px) AS rep_pixels
+      FROM g GROUP BY 1)
+SELECT m.cell, m.n_images, max(g.image_id) AS rep_image_id, m.rep_pixels
+FROM m JOIN g ON g.cell = m.cell AND g.px = m.rep_pixels
+GROUP BY 1, 2, 4
+"""
+
+
 def q_img_density_scan(spark, sf_dir):
     """Fused density scan (the flagship operator): image parquet -> cell-cover
     PIP filter + decode + tile assignment inside one Arrow scan stage. The
@@ -2377,6 +2424,7 @@ QUERIES = {
     "ann_ivf_udf": (q_ann_ivf_udf, _oracle_ann_ivf()),
     "img_tile_density": (q_img_tile_density, _oracle_img_tile_density()),
     "img_density_scan": (q_img_density_scan, _oracle_img_density_scan()),
+    "img_tile_mosaic": (q_img_tile_mosaic, _oracle_img_tile_mosaic()),
     "img_phash_buckets": (q_img_phash_buckets, _oracle_img_phash_buckets()),
     "img_phash_pairs": (q_img_phash_pairs, _oracle_img_phash_pairs()),
     "img_resize": (q_img_resize, _oracle_img_resize()),

@@ -119,3 +119,15 @@ def test_generator_hot_city_skew():
     pdf = src.generate_batch(ids, hot_city=0, hot_frac=0.5)
     nyc = ((pdf.lon + 74.006).abs() < 1) & ((pdf.lat - 40.713).abs() < 1)
     assert nyc.mean() > 0.45
+
+
+def test_tile_mosaic_prunes_bytes_column(spark):
+    """The mosaic pick must never read the image payload: the parquet scan's
+    ReadSchema carries only the 5 metadata columns."""
+    from geomesa_spark.catalog import q_img_tile_mosaic
+
+    df = q_img_tile_mosaic(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "bytes" not in scan[0] and "caption" not in scan[0]
+    assert "image_id" in scan[0] and "lon" in scan[0]
