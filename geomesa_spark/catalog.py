@@ -881,6 +881,57 @@ def _oracle_text_quality():
     return f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {cols} FROM documents"
 
 
+def _scrub_decor_sql(dialect: str) -> str:
+    """Deterministic URL/email decoration derived from doc_id (the corpus
+    itself contains neither) — same regenerate-from-ids pattern the image
+    oracles use. doc_id % 3: 0 = untouched, 1 = URL appended, 2 = email."""
+    sid = "cast(doc_id as varchar)" if dialect == "duckdb" else "cast(doc_id as string)"
+    return (
+        f"case cast(doc_id % 3 as int)"
+        f" when 1 then concat(text, ' see https://ex.org/d/', {sid}, '?u=', {sid}, ' ok')"
+        f" when 2 then concat(text, ' mail u', {sid}, '@ex-', {sid}, '.com  now')"
+        f" else text end"
+    )
+
+
+def q_text_scrub(spark, sf_dir):
+    """Redaction/normalization scrub — URLs/emails replaced by tokens,
+    whitespace collapsed; all native regexp expressions, no Python. The
+    emitted clean text is value-hashed against the oracle, so the scrub is
+    verified character-for-character."""
+    from .functions.text import scrub_exprs
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    deco = docs.select(
+        F.col("doc_id"), F.expr(_scrub_decor_sql("spark")).alias("__t")
+    )
+    exprs = scrub_exprs("__t", "spark")
+    return deco.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(exprs["clean"]).alias("clean"),
+        F.expr(exprs["n_urls"]).alias("n_urls"),
+        F.expr(exprs["n_emails"]).alias("n_emails"),
+        (F.length("__t") - F.length(F.expr(exprs["clean"])))
+        .cast("long")
+        .alias("removed_chars"),
+    )
+
+
+def _oracle_text_scrub():
+    from .functions.text import scrub_exprs
+
+    exprs = scrub_exprs("__t", "duckdb")
+    return f"""
+WITH deco AS (SELECT doc_id, {_scrub_decor_sql('duckdb')} AS __t FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {exprs['clean']} AS clean,
+       {exprs['n_urls']} AS n_urls,
+       {exprs['n_emails']} AS n_emails,
+       CAST(length(__t) - length({exprs['clean']}) AS BIGINT) AS removed_chars
+FROM deco
+"""
+
+
 def q_text_langid(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
     return (
@@ -2395,6 +2446,7 @@ QUERIES = {
     "join_revenue_by_nation": (q_join_revenue_by_nation, _oracle_join_revenue_by_nation()),
     "dedup_exact": (q_dedup_exact, _oracle_dedup_exact()),
     "text_quality": (q_text_quality, _oracle_text_quality()),
+    "text_scrub": (q_text_scrub, _oracle_text_scrub()),
     "text_langid": (q_text_langid, _oracle_text_langid()),
     "lang_stats": (q_lang_stats, _oracle_lang_stats()),
     "text_bm25": (q_text_bm25, _oracle_text_bm25()),

@@ -19,15 +19,29 @@ _LANG_MARKERS = {
 }
 
 
+def _re_escape(pat: str, dialect: str) -> str:
+    """Dialect-escape a CANONICAL (single-backslash) regex for embedding in
+    a SQL string literal. Spark's parser unescapes backslashes inside
+    literals, so ``\\s`` must ship as ``\\\\s``; DuckDB literals are
+    standard SQL (no backslash processing), so the canonical form passes
+    through — doubling there turns ``\\s`` into an escaped-backslash match
+    (pinned in tests/test_oracle_sql.py)."""
+    if dialect == "duckdb":
+        return pat.replace("'", "''")
+    return pat.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def _rr(col: str, pat: str, rep: str, dialect: str) -> str:
     """regexp_replace with replace-ALL semantics in both dialects: Spark
-    replaces all matches by default; DuckDB needs the 'g' flag."""
+    replaces all matches by default; DuckDB needs the 'g' flag. ``pat`` is
+    the canonical single-backslash form."""
+    pat = _re_escape(pat, dialect)
     if dialect == "duckdb":
         return f"regexp_replace({col}, '{pat}', '{rep}', 'g')"
     return f"regexp_replace({col}, '{pat}', '{rep}')"
 
 
-_WS = "\\\\s+"
+_WS = r"\s+"
 
 
 def token_count_expr(col: str, dialect: str = "spark") -> str:
@@ -83,6 +97,40 @@ def quality_exprs(col: str, dialect: str = "spark") -> dict[str, str]:
             f"round(cast(length(replace(trim({_rr(col, _WS, ' ', dialect)}), ' ', ''))"
             f" as double) / greatest({token_count_expr(col, dialect)}, 1), 4)"
         ),
+    }
+
+
+# ASCII, lookahead-free CANONICAL patterns that parse identically under
+# Java regex (Spark) and RE2 (DuckDB) once dialect-escaped by _re_escape
+_URL_PAT = r"https?://[^\s]+"
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def _re_count(col: str, pat: str, dialect: str) -> str:
+    pat = _re_escape(pat, dialect)
+    if dialect == "duckdb":
+        return f"cast(len(regexp_extract_all({col}, '{pat}')) as bigint)"
+    return f"cast(regexp_count({col}, '{pat}') as bigint)"
+
+
+def scrub_exprs(col: str, dialect: str = "spark") -> dict[str, str]:
+    """Text scrubbing (the redaction/normalization pass every training-data
+    pipeline runs before tokenization) as portable SQL expressions:
+
+    - ``clean``: URLs -> ``<URL>``, emails -> ``<EMAIL>``, whitespace runs
+      collapsed to one space, trimmed;
+    - ``n_urls`` / ``n_emails``: match counts over the ORIGINAL text.
+
+    Fully native in both engines — the redact order in ``clean`` is fixed
+    (URLs first, so an email inside a URL query string is swallowed by the
+    ``<URL>`` token; the counts are independent, over the original text)."""
+    urls = _rr(col, _URL_PAT, '<URL>', dialect)
+    emails = _rr(f"({urls})", _EMAIL_PAT, '<EMAIL>', dialect)
+    clean = f"trim({_rr(f'({emails})', _WS, ' ', dialect)})"
+    return {
+        "clean": clean,
+        "n_urls": _re_count(col, _URL_PAT, dialect),
+        "n_emails": _re_count(col, _EMAIL_PAT, dialect),
     }
 
 

@@ -88,3 +88,51 @@ def test_phash_integer_exact_definition():
                 val |= 1 << (k * 8 + l)
     exp = phash64(arr) & 0xFFFFFFFFFFFFFFFF
     assert val == exp
+
+
+SCRUB_CASES = [
+    "plain words only",
+    "multi   space\t and\nnewline   runs",
+    "see https://ex.org/d/42?u=7&x=1 trailing",
+    "mail bob.smith+tag@ex-9.co.uk now",
+    "email inside url https://ex.org/?mail=a@b.com tail",
+    "two https://a.b/1 urls http://c.d/2 and x@y.io",
+    "",
+]
+
+
+def test_scrub_exprs_cross_engine_parity(con, spark):
+    """scrub_exprs must produce CHARACTER-identical clean text and counts in
+    Spark (Java regex, doubled backslashes) and DuckDB (RE2, canonical) —
+    the escaping difference is exactly what _re_escape encodes."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.functions.text import scrub_exprs, token_count_expr
+
+    pdf = pd.DataFrame({"t": SCRUB_CASES})
+    sdf = spark.createDataFrame(pdf)
+    se = scrub_exprs("t", "spark")
+    got_s = sdf.select(
+        F.expr(se["clean"]).alias("clean"),
+        F.expr(se["n_urls"]).alias("n_urls"),
+        F.expr(se["n_emails"]).alias("n_emails"),
+        F.expr(token_count_expr("t", "spark")).alias("n_tok"),
+    ).toPandas()
+
+    de = scrub_exprs("t", "duckdb")
+    con.register("scrub_in", pdf)
+    got_d = con.execute(
+        f"SELECT {de['clean']} AS clean, {de['n_urls']} AS n_urls,"
+        f" {de['n_emails']} AS n_emails,"
+        f" {token_count_expr('t', 'duckdb')} AS n_tok FROM scrub_in"
+    ).fetchdf()
+
+    assert list(got_s.clean) == list(got_d.clean)
+    assert list(got_s.n_urls) == list(got_d.n_urls)
+    assert list(got_s.n_emails) == list(got_d.n_emails)
+    assert list(got_s.n_tok) == list(got_d.n_tok)
+    # the interesting cases actually fire
+    assert got_s.n_urls.sum() >= 4 and got_s.n_emails.sum() >= 3
+    assert "<URL>" in got_s.clean[2] and "<EMAIL>" in got_s.clean[3]
+    assert "  " not in got_s.clean[1]
