@@ -1096,6 +1096,30 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same pair graph and labeling contract as dedup_clusters, but through
+    the alternating large-star/small-star contraction (Kiveris et al. 2014)
+    — the O(log² n)-round path for adversarial graph shapes (long edit
+    chains) where diameter-bound propagation degenerates. Checked against
+    the identical recursive-CTE oracle: the two algorithms must agree with
+    the independent fixpoint and with each other."""
+    from .operators.dedup import connected_components_star, winnow_overlap_pairs
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    pairs = winnow_overlap_pairs(
+        docs,
+        kgram=WINNOW_K,
+        window=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        max_df=WINNOW_MAX_DF,
+        min_overlap=WINNOW_MIN_OVERLAP,
+    )
+    return connected_components_star(pairs, docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def _oracle_dedup_clusters():
     winnow = _oracle_text_winnow_pairs()
     return f"""
@@ -2456,6 +2480,7 @@ QUERIES = {
     "text_fingerprint": (q_text_fingerprint, _oracle_text_fingerprint()),
     "text_winnow_pairs": (q_text_winnow_pairs, _oracle_text_winnow_pairs()),
     "dedup_clusters": (q_dedup_clusters, _oracle_dedup_clusters()),
+    "dedup_clusters_star": (q_dedup_clusters_star, _oracle_dedup_clusters()),
     "text_dup_spans": (q_text_dup_spans, _oracle_text_dup_spans()),
     "embed_norms": (q_embed_norms, _oracle_embed_norms()),
     "ann_cosine": (q_ann_cosine, _oracle_ann_cosine()),

@@ -580,6 +580,113 @@ def connected_components(
     return labels.select(F.col("u").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """-> (id_col, cluster_id): same contract as :func:`connected_components`
+    (cluster_id = min reachable node id), but via alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) — O(log² n) rounds on
+    ANY graph shape, where min-label propagation needs graph-diameter
+    rounds. This is the adversarial-input path (long edit chains, linked
+    boilerplate); propagation stays the default for dedup graphs, whose
+    components are near-cliques.
+
+    Per round, each operation is ONE groupBy(min) + ONE equi-join over
+    (long, long) rows — the same shuffle shape as propagation:
+
+    - large-star: every neighbor v > u of each node u re-attaches to
+      m = min({u} ∪ N(u));
+    - small-star: every neighbor v <= u re-attaches to
+      m = min({u} ∪ {v ∈ N(u): v <= u}), and u itself attaches to m.
+
+    Both preserve connectivity and strictly flatten trees; the fixpoint is
+    a forest of stars rooted at component minima. Fixpoint detection
+    compares (count, sum of pair hashes) between rounds — no exceptAll
+    scan. Each round's edge frame is ``localCheckpoint``-ed like
+    propagation's label frames (lineage doubles per round otherwise).
+    """
+    e = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _sym(ed: DataFrame) -> DataFrame:
+        return ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        s = _sym(ed)
+        m = s.groupBy("u").agg(F.min("v").alias("__mn")).select(
+            "u", F.least(F.col("u"), F.col("__mn")).alias("m")
+        )
+        return (
+            s.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        # orient every edge high -> low, then each u attaches its low
+        # neighborhood (and itself) to that neighborhood's minimum
+        s = _sym(ed).filter(F.col("v") <= F.col("u"))
+        m = s.groupBy("u").agg(F.min("v").alias("m"))
+        att = (
+            s.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_att = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            att.union(self_att)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _sig(ed: DataFrame):
+        # bit_xor is order-independent and cannot overflow under ANSI mode
+        # (sum(xxhash64) throws ARITHMETIC_OVERFLOW on the second row)
+        row = ed.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    edges = e.localCheckpoint()
+    sig = _sig(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds "
+            "(O(log^2 n) expected — the edge frame is likely corrupt)"
+        )
+    # fixpoint edges are (node -> component root); roots and isolated
+    # nodes label themselves
+    return (
+        nodes.select(F.col(id_col).cast("long").alias("u"))
+        .join(edges.withColumnRenamed("v", "lbl"), "u", "left")
+        .select(
+            F.col("u").alias(id_col),
+            F.coalesce("lbl", "u").alias("cluster_id"),
+        )
+    )
+
+
 _SPLITMIX_C1 = 0x9E3779B97F4A7C15
 _SPLITMIX_C2 = 0xBF58476D1CE4E5B9
 _SPLITMIX_C3 = 0x94D049BB133111EB

@@ -367,3 +367,75 @@ def test_dup_span_stats_fuzz_vs_brute_force(spark):
         }
         want = brute(docs)
         assert got == want, f"trial {trial}: {docs}"
+
+
+def test_star_contraction_matches_propagation_and_brute_force(spark):
+    """Large-star/small-star must produce the identical min-id labeling as
+    propagation AND a python union-find, on cliques, chains, and random
+    graphs — including shapes with shared structure across components."""
+    from geomesa_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = np.random.default_rng(3)
+
+    def brute(pairs, node_ids):
+        parent = {i: i for i in node_ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for i in node_ids:
+            comp.setdefault(find(i), []).append(i)
+        return {i: min(members) for members in comp.values() for i in members}
+
+    cases = [
+        # clique + chain + cross pair + singletons (the propagation fixture)
+        ([(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+         [1, 2, 3, 4, 10, 11, 12, 20, 21, 30, 31]),
+        # two random graphs
+        *[
+            (
+                [tuple(sorted(p)) for p in
+                 rng.integers(0, 40, size=(45, 2)).tolist() if p[0] != p[1]],
+                list(range(40)),
+            )
+            for _ in range(2)
+        ],
+    ]
+    for pairs, node_ids in cases:
+        pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        ndf = spark.createDataFrame([(i,) for i in node_ids], ["doc_id"])
+        want = brute(pairs, node_ids)
+        star = {r["doc_id"]: r["cluster_id"]
+                for r in connected_components_star(pdf, ndf).collect()}
+        prop = {r["doc_id"]: r["cluster_id"]
+                for r in connected_components(pdf, ndf).collect()}
+        assert star == want and prop == want
+
+
+def test_star_contraction_beats_diameter_bound(spark):
+    """A 64-node path has diameter 63 — propagation cannot finish in 12
+    rounds, star contraction must (O(log^2 n))."""
+    from geomesa_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 65)], ["doc_id"])
+    out = connected_components_star(pairs, nodes, max_iter=12).collect()
+    assert {r["cluster_id"] for r in out} == {1} and len(out) == 64
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes, max_iter=12)
