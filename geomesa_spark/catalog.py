@@ -619,6 +619,35 @@ FROM lineitem
 """
 
 
+QUANT_PROBS = (0.25, 0.5, 0.75, 0.9)
+
+
+def q_stats_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (Stat-DSL addendum): one shuffle on the
+    group key, map-side partial aggregation — Spark's percentile and
+    DuckDB's quantile_cont share the type-7 interpolation bit-for-bit
+    (probe-pinned in tests/test_oracle_sql.py)."""
+    from .operators.stats import quantiles_by
+
+    (events,) = _load(spark, sf_dir, "events")
+    return quantiles_by(events, "event_type", "value", QUANT_PROBS).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        *[f"q_{str(p).replace('.', '_')}" for p in QUANT_PROBS],
+    )
+
+
+def _oracle_stats_quantiles():
+    qcols = ", ".join(
+        f"round(quantile_cont(value, {p}), 6) AS q_{str(p).replace('.', '_')}"
+        for p in QUANT_PROBS
+    )
+    return f"""
+SELECT event_type, CAST(count(value) AS BIGINT) AS n, {qcols}
+FROM events GROUP BY 1
+"""
+
+
 def q_stats_groupby(spark, sf_dir):
     """Nested GroupBy stat (GroupBy.scala analog): histogram of l_quantity
     per returnflag through the stats DSL."""
@@ -2463,6 +2492,7 @@ QUERIES = {
     "stats_enumeration": (q_stats_enumeration, _oracle_stats_enumeration()),
     "stats_minmax": (q_stats_minmax, _oracle_stats_minmax()),
     "stats_descriptive": (q_stats_descriptive, _oracle_stats_descriptive()),
+    "stats_quantiles": (q_stats_quantiles, _oracle_stats_quantiles()),
     "tpch_q1": (q_tpch_q1, _oracle_tpch_q1()),
     "tpch_q3": (q_tpch_q3, _oracle_tpch_q3()),
     "tpch_q5": (q_tpch_q5, _oracle_tpch_q5()),

@@ -1,13 +1,17 @@
 """Operator surface (see COVERAGE.md for the reference mapping)."""
 
 from .dedup import (  # noqa: F401
+    connected_components,
+    connected_components_star,
     dup_span_stats,
     exact_dedup,
+    hamming_neardup_pairs,
     minhash_lsh_pairs,
     simhash64,
     simhash_pairs,
+    winnow_overlap_pairs,
 )
-from .density import cell_density, density  # noqa: F401
+from .density import cell_density, density, tile_pyramid  # noqa: F401
 from .geometry_join import geometry_join, geometry_join_time  # noqa: F401
 from .hull import convex_hull, convex_hull_vertices  # noqa: F401
 from .knn import knn_join, knn_join_table  # noqa: F401
@@ -19,7 +23,7 @@ from .retrieval import bm25_topk  # noqa: F401
 from .sampling import sample_fraction, sample_nth, sample_stratified  # noqa: F401
 from .sessions import session_stats, sessionize  # noqa: F401
 from .spatial_join import prepare_polygons, spatial_join  # noqa: F401
-from .stats import run_stats  # noqa: F401
+from .stats import quantiles_by, run_stats  # noqa: F401
 from .tracks import point2point, route_search, track_label, tube_select  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,

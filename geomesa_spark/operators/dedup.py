@@ -504,6 +504,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    fallback_star: bool = True,
 ) -> DataFrame:
     """-> (id_col, cluster_id) duplicate-cluster labels over a pair graph:
     cluster_id = the smallest node id reachable through the pairs. This is
@@ -516,15 +517,15 @@ def connected_components(
     aggregate, so only id/label longs ever shuffle; each round's label
     frame is ``localCheckpoint``-ed to truncate lineage (superseded rounds
     are freed by the ContextCleaner once unreferenced). Converges in
-    graph-diameter rounds — near-dup graphs are shallow (exact-dup cliques
-    have diameter 1, chain-of-edits components a few hops). Raises on
-    non-convergence after ``max_iter`` rather than returning partial labels.
+    graph-diameter rounds — near-dup graphs are USUALLY shallow (exact-dup
+    cliques have diameter 1, chain-of-edits components a few hops).
 
-    100 TB note: for adversarial long-path graphs, alternating
-    large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SoCC 2014) converges in O(log² n) rounds with
-    the same per-round join shape; diameter-bound propagation is the right
-    default for dedup graphs, whose components are near-cliques.
+    If the graph turns out deeper than ``max_iter`` (chained templates at
+    larger corpus scale — measured at sf0.1: the winnow pair graph exceeds
+    25 rounds), the operator delegates to
+    :func:`connected_components_star` (O(log² n) rounds on any shape)
+    instead of failing — pass ``fallback_star=False`` to get the hard
+    error (used by tests and by callers that budget rounds).
     """
     e = pairs.select(
         F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
@@ -570,6 +571,10 @@ def connected_components(
             if changed == 0:
                 break
         else:
+            if fallback_star:
+                return connected_components_star(
+                    pairs, nodes, id_col=id_col, a_col=a_col, b_col=b_col
+                )
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} rounds; "
                 "the pair graph has a longer diameter than a dedup graph "

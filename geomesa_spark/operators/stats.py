@@ -70,6 +70,36 @@ def descriptive(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def quantiles_by(
+    df: DataFrame,
+    key: str,
+    col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """-> (key, n, q_<p> per prob): EXACT linearly-interpolated quantiles per
+    group (Stat-DSL addendum — the reference's Histogram sketch answers
+    quantile questions only to bin width). Spark's native ``percentile``
+    aggregate computes the type-7 (numpy/DuckDB ``quantile_cont``)
+    definition, partial-aggregated map-side like any other agg — one
+    shuffle on the group key, no sort of the whole column. Exact per-group
+    quantiles are the right call when groups are numerous and each fits an
+    aggregation buffer; for a single giant group use
+    ``percentile_approx`` (t-digest-style bounded memory) instead."""
+    arr = ", ".join(f"{p}D" for p in probs)
+    qs = F.expr(f"percentile({col}, array({arr}))")
+    out = df.groupBy(F.col(key)).agg(
+        F.count(F.col(col)).alias("n"), qs.alias("__qs")
+    )
+    return out.select(
+        key,
+        "n",
+        *[
+            F.round(F.col("__qs")[i], 6).alias(f"q_{str(p).replace('.', '_')}")
+            for i, p in enumerate(probs)
+        ],
+    )
+
+
 def minmax(df: DataFrame, col: str) -> DataFrame:
     """MinMaxProcess analog, incl. the HLL cardinality MinMax carries."""
     c = F.col(col)

@@ -237,7 +237,11 @@ def test_connected_components_nonconvergence_guard(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, nodes, max_iter=2)
+        connected_components(pairs, nodes, max_iter=2, fallback_star=False)
+    # default: a too-deep graph falls back to star contraction, not an error
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs, nodes, max_iter=2).collect()}
+    assert out == {i: 1 for i in range(1, 7)}
 
 
 def test_dup_span_stats_coverage_arithmetic(spark):
@@ -438,4 +442,4 @@ def test_star_contraction_beats_diameter_bound(spark):
     out = connected_components_star(pairs, nodes, max_iter=12).collect()
     assert {r["cluster_id"] for r in out} == {1} and len(out) == 64
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, nodes, max_iter=12)
+        connected_components(pairs, nodes, max_iter=12, fallback_star=False)

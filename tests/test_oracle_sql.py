@@ -136,3 +136,15 @@ def test_scrub_exprs_cross_engine_parity(con, spark):
     assert got_s.n_urls.sum() >= 4 and got_s.n_emails.sum() >= 3
     assert "<URL>" in got_s.clean[2] and "<EMAIL>" in got_s.clean[3]
     assert "  " not in got_s.clean[1]
+
+
+def test_quantile_interpolation_parity(con):
+    """Spark's exact percentile and DuckDB's quantile_cont both implement
+    the type-7 (numpy linear) definition — pin DuckDB against numpy here
+    (Spark vs DuckDB is pinned end-to-end by the stats_quantiles oracle)."""
+    rng = np.random.default_rng(12)
+    vals = np.round(rng.gamma(2.0, 30.0, size=997), 2)
+    con.register("qvals", __import__("pandas").DataFrame({"v": vals}))
+    for p in (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0):
+        d = con.execute(f"SELECT quantile_cont(v, {p}) FROM qvals").fetchone()[0]
+        assert abs(d - np.percentile(vals, p * 100)) < 1e-9
