@@ -194,15 +194,16 @@ def q_geo_tile_pyramid(spark, sf_dir):
 def _oracle_geo_tile_pyramid():
     expr = cells.cell_sql_expr("lon", "lat", CELL_RES)
     # replay each zoom level directly over the rows: ancestor = drop 2 bits
-    # per level (floor-div by 4^k) — mathematically identical to the
-    # engine's rollup over fine-cell partials; float disagreement is ~1e-12
-    # relative, far below the 4dp rounding
+    # per level (integer >> in both engines — a floor(cell/4^k) form rides
+    # double division and corrupts ids above 2^53); mathematically identical
+    # to the engine's rollup over fine-cell partials; float disagreement is
+    # ~1e-12 relative, far below the 4dp rounding
     levels = []
     for r in range(CELL_RES - PYRAMID_LEVELS + 1, CELL_RES + 1):
         k = CELL_RES - r
         levels.append(
             f"SELECT CAST({r} AS INT) AS res,"
-            f" CAST(floor(cell / {1 << (2 * k)}) AS BIGINT) AS cell,"
+            f" CAST(cell >> {2 * k} AS BIGINT) AS cell,"
             f" CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS weight"
             f" FROM f GROUP BY 1, 2"
         )

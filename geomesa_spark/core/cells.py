@@ -318,14 +318,19 @@ def cell_stage_exprs(lon_col: str, lat_col: str, res: int, out: str = "cell"):
 
 
 def parent_sql_expr(cell_col: str, res: int, parent_res: int) -> str:
-    """Ancestor derivation as portable SQL: integer divide by 4^(res-parent)."""
+    """Ancestor derivation as portable SQL: drop 2 bits per level.
+
+    A ``floor(cell / 4^k)`` form goes through DOUBLE division in both Spark
+    and DuckDB and silently corrupts cell ids above 2^53 (res >= 27 uses up
+    to 60 bits); the ``>>`` operator stays integer in both engines and
+    cells are non-negative, so the arithmetic shift IS the floor division.
+    """
     k = res - parent_res
     if k < 0:
         raise ValueError("parent_res must be <= res")
     if k == 0:
         return cell_col
-    # cells are non-negative -> floor division == logical shift right
-    return f"cast(floor(({cell_col}) / {1 << (2 * k)}) as bigint)"
+    return f"(({cell_col}) >> {2 * k})"
 
 
 # ---------------------------------------------------------------------------

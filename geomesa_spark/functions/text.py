@@ -41,7 +41,11 @@ def _rr(col: str, pat: str, rep: str, dialect: str) -> str:
     return f"regexp_replace({col}, '{pat}', '{rep}')"
 
 
-_WS = r"\s+"
+# explicit whitespace class instead of \s: Java's \s includes vertical tab
+# (U+000B), RE2's does not — the explicit class is identical in both engines
+# (it spells out exactly Java's default \s)
+_WS_CLASS = r" \t\r\n\x0b\f"
+_WS = f"[{_WS_CLASS}]+"
 
 
 def token_count_expr(col: str, dialect: str = "spark") -> str:
@@ -53,7 +57,10 @@ def token_count_expr(col: str, dialect: str = "spark") -> str:
     )
 
 
-_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_PAT = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^A-Za-z0-9{_WS_CLASS}]+|[{_WS_CLASS}]+"
+)
 
 
 def token_count_bpe_expr(col: str, dialect: str = "spark") -> str:
@@ -65,16 +72,9 @@ def token_count_bpe_expr(col: str, dialect: str = "spark") -> str:
     identical leftmost-first alternation — parity pinned on quotes,
     unicode, and mixed-whitespace inputs in tests. Counts pretokens, the
     standard upper-bound proxy for BPE token counts."""
+    pat = _re_escape(_BPE_PAT, dialect)
     if dialect == "duckdb":
-        # DuckDB string literals are standard SQL: no backslash processing
-        pat = _BPE_PAT.replace("'", "''")
         return f"len(regexp_extract_all({col}, '{pat}'))"
-    # Spark's SQL parser unescapes backslashes inside string literals
-    # (spark.sql.parser.escapedStringLiterals=false default), so \s must be
-    # shipped as \\s or the regex silently degrades to a literal 's' —
-    # backslashes FIRST, then quotes (the quote escape adds a backslash
-    # that must not be doubled)
-    pat = _BPE_PAT.replace("\\", "\\\\").replace("'", "\\'")
     return f"regexp_count({col}, '{pat}')"
 
 
@@ -102,7 +102,7 @@ def quality_exprs(col: str, dialect: str = "spark") -> dict[str, str]:
 
 # ASCII, lookahead-free CANONICAL patterns that parse identically under
 # Java regex (Spark) and RE2 (DuckDB) once dialect-escaped by _re_escape
-_URL_PAT = r"https?://[^\s]+"
+_URL_PAT = rf"https?://[^{_WS_CLASS}]+"
 _EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 

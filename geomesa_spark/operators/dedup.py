@@ -104,17 +104,19 @@ def _window_hashes(text: str, n: int) -> np.ndarray:
     return (win * powers).sum(axis=1) & np.uint64(0xFFFFFFFF)
 
 
-def _split_small_input(df: DataFrame) -> DataFrame:
+def _split_small_input(
+    df: DataFrame, known_small: bool | None = None
+) -> DataFrame:
     """Repartition tiny inputs to the session parallelism before a signature
     UDF: a small-SF parquet arrives as ONE file split, which would serialize
     the whole Arrow stage on one core (measured: the entire sf0.1 minhash
     pipeline ran single-task). At production scale inputs carry natural
-    splits and this is a no-op."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    splits and this is a no-op. Shared impl: operators/util.spread_small —
+    pass ``known_small`` (probed on a narrow ancestor) for shuffle-rooted
+    frames, whose direct probe would double-execute the pipeline."""
+    from .util import spread_small
+
+    return spread_small(df, known_small)
 
 
 def minhash_signature_udf(num_hashes: int = 64, shingle_n: int = 5):
@@ -217,10 +219,13 @@ def minhash_lsh_pairs(
     multiplicatively while 1 - (1 - J^r)^b keeps recall high (e.g. r=4,
     b=16 at J=0.9 misses 3e-6).
     """
+    from .util import narrow_is_small
+
     rows_per_band = num_hashes // bands
     sig = minhash_signature_udf(num_hashes, shingle_n)
+    small_input = narrow_is_small(df.select(F.col(id_col), F.col(text_col)))
     with_sig = _split_small_input(
-        df.select(F.col(id_col), F.col(text_col))
+        df.select(F.col(id_col), F.col(text_col)), known_small=small_input
     ).withColumn("__sig", sig(F.col(text_col)))
 
     band_cols = [
@@ -263,9 +268,10 @@ def minhash_lsh_pairs(
     # frame is a few MB) and the broadcast text joins preserve that — which
     # serialized the ENTIRE Python verify on one core (measured: ~8 s of a
     # 10 s warm sf0.1 run inside one task). Re-spreading costs one tiny
-    # id-pair shuffle BEFORE the texts are attached; at production scale
-    # the candidate frame exceeds the advisory size and this is a no-op.
-    cand = _split_small_input(cand)
+    # id-pair shuffle BEFORE the texts are attached; gated on the INPUT's
+    # probe (cand is shuffle-rooted — probing it directly would run the
+    # whole candidate pipeline twice), so at production this is a no-op.
+    cand = _split_small_input(cand, known_small=small_input)
 
     texts = df.select(F.col(id_col), F.col(text_col))
     joined = (
@@ -616,12 +622,20 @@ def connected_components_star(
     scan. Each round's edge frame is ``localCheckpoint``-ed like
     propagation's label frames (lineage doubles per round otherwise).
     """
+    node_ids = nodes.select(F.col(id_col).cast("long").alias("__nid"))
     e = (
         pairs.select(
             F.col(a_col).cast("long").alias("u"),
             F.col(b_col).cast("long").alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
+        # contract parity with propagation: ids absent from ``nodes`` never
+        # relay connectivity there (the label join only carries node labels),
+        # so drop edges touching them — otherwise contraction could emit a
+        # cluster_id that is not any node's id and merge clusters propagation
+        # keeps apart
+        .join(node_ids.withColumnRenamed("__nid", "u"), "u", "left_semi")
+        .join(node_ids.withColumnRenamed("__nid", "v"), "v", "left_semi")
         .distinct()
     )
 

@@ -33,16 +33,13 @@ DEFAULT_JOIN_RES = 8       # 256x256 world grid (~1.4 deg cells)
 MAX_CELLS_PER_ROW = 256    # bbox cover cap per row geometry
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Re-spread a small frame to the session parallelism before a Python
-    stage: small-SF parquet arrives as ONE split and AQE coalesces small
-    exchanges to ~1 partition, either of which serializes the mapInArrow
-    bbox-keys stage / the DE-9IM refine on one core (measured: 13 s and
-    ~14 s single-task respectively at sf0.1). No-op at production sizes."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# re-spread rationale (shared impl: operators/util.spread_small): small-SF
+# parquet arrives as ONE split and AQE coalesces small exchanges to ~1
+# partition, either of which serializes the mapInArrow bbox-keys stage /
+# the DE-9IM refine on one core (measured: 13 s and ~14 s single-task at
+# sf0.1). The join-output spreads are gated on the NARROW input's probe —
+# probing the shuffle-rooted join itself would execute its stages twice.
+from .util import narrow_is_small, spread_small
 
 
 def _poly_cells_at(prepared_cover_rows, res_j: int) -> pd.DataFrame:
@@ -86,19 +83,22 @@ def geometry_join_time(
     the index prefilter, exactly as the reference's coarse Z3 ranges are.
     Returns input columns + poly_id.
     """
-    cand, rows, row_id, gen_rid, polys_parsed = _geom_time_candidates(
-        rows, polygons, time_windows, geom_col, ts, row_id, res_j, period_s,
-        max_cells,
+    cand, rows, row_id, gen_rid, polys_parsed, small_input = (
+        _geom_time_candidates(
+            rows, polygons, time_windows, geom_col, ts, row_id, res_j,
+            period_s, max_cells,
+        )
     )
     spark = rows.sparkSession
     win_rows = [(pid, float(t0), float(t1)) for pid, (t0, t1) in time_windows.items()]
     win_df = spark.createDataFrame(win_rows, schema="poly_id string, __t0 double, __t1 double")
 
-    joined = _spread(
+    joined = spread_small(
         rows.join(cand, row_id)
         .join(F.broadcast(win_df), "poly_id")
         .filter((F.col(ts) >= F.col("__t0")) & (F.col(ts) < F.col("__t1")))
-        .drop("__t0", "__t1")
+        .drop("__t0", "__t1"),
+        known_small=small_input,
     )
     out = _relate_refine_filter(joined, polys_parsed, predicate, geom_col)
     return out.drop("__rid") if gen_rid else out
@@ -155,7 +155,8 @@ def _geom_time_candidates(
     if gen_rid:
         row_id = "__rid"
         rows = rows.withColumn(row_id, F.monotonically_increasing_id())
-    rows = _spread(rows)
+    small_input = narrow_is_small(rows)
+    rows = spread_small(rows, known_small=small_input)
     with_bin = rows.withColumn(
         "__wbin", F.floor(F.col(ts) / F.lit(period_s)).cast("long")
     )
@@ -171,7 +172,7 @@ def _geom_time_candidates(
         .select(row_id, "poly_id")
         .dropDuplicates([row_id, "poly_id"])
     )
-    return cand, rows, row_id, gen_rid, polys_parsed
+    return cand, rows, row_id, gen_rid, polys_parsed, small_input
 
 
 def _bbox_cell_keys(rows, geom_col, row_id, res_j, extra=()):
@@ -268,7 +269,8 @@ def geometry_join(
     if gen_rid:
         row_id = "__rid"
         rows = rows.withColumn(row_id, F.monotonically_increasing_id())
-    rows = _spread(rows)
+    small_input = narrow_is_small(rows)
+    rows = spread_small(rows, known_small=small_input)
 
     # no cell cap on the row side: dropping cells would silently lose
     # candidate pairs. worst case (a global geometry) emits 4^res_j keys for
@@ -286,6 +288,9 @@ def geometry_join(
     # geometry touches that cell, so the exact predicate always runs (the
     # reference likewise always applies the full filter on XZ scans).
     out = _relate_refine_filter(
-        _spread(rows.join(cand, row_id)), polys_parsed, predicate, geom_col
+        spread_small(rows.join(cand, row_id), known_small=small_input),
+        polys_parsed,
+        predicate,
+        geom_col,
     )
     return out.drop("__rid") if gen_rid else out

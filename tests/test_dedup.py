@@ -443,3 +443,21 @@ def test_star_contraction_beats_diameter_bound(spark):
     assert {r["cluster_id"] for r in out} == {1} and len(out) == 64
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, nodes, max_iter=12, fallback_star=False)
+
+
+def test_star_contraction_ignores_non_node_pair_ids(spark):
+    """Contract parity with propagation: pair ids absent from ``nodes``
+    never relay connectivity and never appear as cluster ids."""
+    from geomesa_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # chain 10—5—20 where 5 is NOT a node: 10 and 20 must stay separate
+    pairs = spark.createDataFrame([(10, 5), (5, 20), (30, 31)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in (10, 20, 30, 31)], ["doc_id"])
+    star = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components_star(pairs, nodes).collect()}
+    prop = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs, nodes).collect()}
+    assert star == prop == {10: 10, 20: 20, 30: 30, 31: 30}

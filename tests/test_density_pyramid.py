@@ -71,3 +71,28 @@ def test_pyramid_arg_validation(spark, pts):
         tile_pyramid(pts, 8, 0)
     with pytest.raises(ValueError, match="below resolution 0"):
         tile_pyramid(pts, 2, 5)
+
+
+def test_pyramid_high_res_exact_above_2_53(spark):
+    """Ancestor derivation must stay integer: res-30 cells use 60 bits, and
+    a floor(cell / 4^k) form rides DOUBLE division, corrupting ids above
+    2^53 — the >> form must keep parent/child conservation exact."""
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {
+            # cluster points so res-30 siblings actually share parents
+            "lon": 179.99 + rng.uniform(0, 1e-5, 300),
+            "lat": 89.99 + rng.uniform(0, 1e-5, 300),
+            "value": rng.uniform(0, 1, 300).round(3),
+        }
+    )
+    pts = spark.createDataFrame(pdf)
+    pyr = tile_pyramid(pts, 30, 3, weight="value").toPandas()
+    fine = pyr[pyr.res == 30]
+    assert (fine.cell > 2**53).any()  # the regime double division corrupts
+    for r in (28, 29, 30):
+        lv = pyr[pyr.res == r]
+        assert int(lv.n.sum()) == 300
+    mid = pyr[pyr.res == 29].set_index("cell")
+    agg = fine.assign(parent=lambda d: d.cell // 4).groupby("parent").n.sum()
+    assert (agg == mid.n.loc[agg.index]).all()

@@ -121,7 +121,7 @@ def test_geometry_join_time_semantics_and_pruning(spark):
     assert got == {("a", "west"), ("c", "east")}
 
     # pruning assertion: row b (week 5) must not even become a candidate
-    cand, rows2, rid, _, _ = _geom_time_candidates(
+    cand, rows2, rid, _, _, _ = _geom_time_candidates(
         df, POLYS, windows, "geom", "ts_s", "gid", 8, week, 2048
     )
     cpdf = cand.toPandas()

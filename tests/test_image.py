@@ -121,12 +121,12 @@ def test_generator_hot_city_skew():
     assert nyc.mean() > 0.45
 
 
-def test_tile_mosaic_prunes_bytes_column(spark):
+def test_tile_mosaic_prunes_bytes_column(spark, sf_dir):
     """The mosaic pick must never read the image payload: the parquet scan's
     ReadSchema carries only the 5 metadata columns."""
     from geomesa_spark.catalog import q_img_tile_mosaic
 
-    df = q_img_tile_mosaic(spark, "/root/testdata/sf0.01")
+    df = q_img_tile_mosaic(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan and "bytes" not in scan[0] and "caption" not in scan[0]

@@ -98,6 +98,8 @@ SCRUB_CASES = [
     "email inside url https://ex.org/?mail=a@b.com tail",
     "two https://a.b/1 urls http://c.d/2 and x@y.io",
     "",
+    "vertical\x0btab and form\x0cfeed ws",
+    "url https://a.b/x\x0bboundary case",
 ]
 
 
