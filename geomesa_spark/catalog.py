@@ -1392,6 +1392,55 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_S = 3 * 86400
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered-sequence funnel (view -> click -> purchase within 3 days of
+    the first view): ONE shuffle on the user key, greedy scan as a native
+    SQL aggregate lambda over the per-user sorted event array — no Python,
+    no per-step join. The oracle replays the INDEPENDENT relational
+    formulation (nested per-step minima), so the scan's greedy semantics
+    are checked against a different algorithm, not a replay of itself."""
+    from .operators.sessions import funnel, funnel_counts
+
+    (events,) = _load(spark, sf_dir, "events")
+    depths = funnel(
+        events, list(FUNNEL_STEPS), window_s=FUNNEL_WINDOW_S
+    )
+    return funnel_counts(depths).select(
+        F.col("depth").cast("int").alias("depth"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+def _oracle_events_funnel():
+    s1, s2, s3 = FUNNEL_STEPS
+    w = FUNNEL_WINDOW_S
+    return f"""
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type
+           FROM events WHERE event_type IN ('{s1}', '{s2}', '{s3}')),
+f1 AS (SELECT user_id, min(ep) AS t1 FROM e WHERE event_type = '{s1}' GROUP BY 1),
+f2 AS (SELECT e.user_id, min(ep) AS t2 FROM e JOIN f1 USING (user_id)
+       WHERE event_type = '{s2}' AND ep > t1 AND ep <= t1 + {w} GROUP BY 1),
+f3 AS (SELECT e.user_id, min(ep) AS t3 FROM e JOIN f2 USING (user_id) JOIN f1 USING (user_id)
+       WHERE event_type = '{s3}' AND ep > t2 AND ep <= t1 + {w} GROUP BY 1),
+u AS (SELECT DISTINCT user_id FROM e),
+d AS (SELECT u.user_id,
+             CASE WHEN f3.user_id IS NOT NULL THEN 3
+                  WHEN f2.user_id IS NOT NULL THEN 2
+                  WHEN f1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS depth
+      FROM u
+      LEFT JOIN f1 ON u.user_id = f1.user_id
+      LEFT JOIN f2 ON u.user_id = f2.user_id
+      LEFT JOIN f3 ON u.user_id = f3.user_id)
+SELECT CAST(depth AS INT) AS depth, CAST(count(*) AS BIGINT) AS n_users
+FROM d GROUP BY 1
+"""
+
+
 def _oracle_events_sessionize():
     return f"""
 WITH e AS (SELECT user_id, ts, event_id,
@@ -2506,6 +2555,7 @@ QUERIES = {
     "lang_stats": (q_lang_stats, _oracle_lang_stats()),
     "text_bm25": (q_text_bm25, _oracle_text_bm25()),
     "events_sessionize": (q_events_sessionize, _oracle_events_sessionize()),
+    "events_funnel": (q_events_funnel, _oracle_events_funnel()),
     "events_asof": (q_events_asof, _oracle_events_asof()),
     "docs_sample_stratified": (q_docs_sample_stratified, _oracle_docs_sample_stratified()),
     "text_fingerprint": (q_text_fingerprint, _oracle_text_fingerprint()),

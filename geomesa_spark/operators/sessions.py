@@ -82,3 +82,69 @@ def session_stats(sessions: DataFrame, user_col: str = "user_id") -> DataFrame:
         F.round(F.avg("n_events"), 6).alias("avg_events"),
         F.sum("duration_s").cast("long").alias("active_s"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_s: int | None = None,
+) -> DataFrame:
+    """-> (user_id, depth): how far each user progresses through the ordered
+    ``steps`` funnel — greedy earliest-completion semantics (the standard
+    funnel definition): step 1 matches the user's EARLIEST step-1 event at
+    time t1; step i>1 matches the earliest step-i event strictly after the
+    previous step and within ``window_s`` seconds of t1 (unbounded when
+    None). Epoch-second granularity keeps the comparison integer-exact.
+
+    100 TB shape: events not in ``steps`` are pruned BEFORE the shuffle,
+    then ONE groupBy on the user key builds the per-user sorted (ts, type)
+    array and a native SQL ``aggregate`` lambda runs the greedy scan —
+    whole-stage codegen, no Python, no per-step join (a relational k-step
+    formulation shuffles the events table k-1 times; the DuckDB oracle
+    replays exactly that nested-min form, making it an INDEPENDENT check).
+    Per-user state is bounded by that user's step-event count.
+    """
+    if not steps:
+        raise ValueError("steps must be a non-empty ordered list")
+    k = len(steps)
+    ev = events.select(
+        F.col(user_col),
+        F.floor(F.col(ts_col).cast("timestamp").cast("double"))
+        .cast("long")
+        .alias("__t"),
+        F.col(type_col).alias("__et"),
+    ).filter(F.col(type_col).isin(list(steps)))
+    per = ev.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(F.struct("__t", "__et"))).alias("__evs")
+    )
+    steps_arr = "array(" + ", ".join(f"'{s}'" for s in steps) + ")"
+    win = (
+        f"acc.t0 + {int(window_s)}" if window_s is not None else f"e.__t"
+    )  # unbounded window: e.__t <= e.__t is always true
+    scan = f"""
+    aggregate(
+      __evs,
+      struct(cast(0 as int) as d, cast(0 as long) as tp, cast(0 as long) as t0),
+      (acc, e) -> CASE
+        WHEN acc.d = 0 AND e.__et = element_at({steps_arr}, 1)
+          THEN struct(cast(1 as int) as d, e.__t as tp, e.__t as t0)
+        WHEN acc.d > 0 AND acc.d < {k}
+             AND e.__et = element_at({steps_arr}, acc.d + 1)
+             AND e.__t > acc.tp AND e.__t <= {win}
+          THEN struct(cast(acc.d + 1 as int) as d, e.__t as tp, acc.t0 as t0)
+        ELSE acc
+      END,
+      acc -> acc.d)
+    """
+    return per.select(
+        F.col(user_col), F.expr(scan).cast("int").alias("depth")
+    )
+
+
+def funnel_counts(depths: DataFrame) -> DataFrame:
+    """-> (depth, n_users) rollup of a funnel() result (depth >= 1; users
+    with no step-1 event are grouped under their actual depth 0)."""
+    return depths.groupBy("depth").agg(F.count("*").cast("long").alias("n_users"))

@@ -154,3 +154,45 @@ def test_tokens_drops_empties(spark):
     pdf = pd.DataFrame([(1, "  A--b!  c1  "), (2, "")], columns=["doc_id", "text"])
     got = tokens(spark.createDataFrame(pdf)).toPandas()
     assert sorted(got.tok) == ["a", "b", "c1"]
+
+
+def test_funnel_greedy_semantics(spark):
+    """Hand-built funnel cases: strict step ordering, same-second ties
+    rejected, window anchored at the EARLIEST step-1 event, non-step events
+    ignored, users with no step-1 event at depth 0."""
+    import datetime as dt
+
+    from geomesa_spark.operators.sessions import funnel
+
+    W = 1000
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # u1: full funnel
+        (1, ts(0), "view"), (1, ts(100), "click"), (1, ts(200), "purchase"),
+        # u2: purchase BEFORE click -> depth 2
+        (2, ts(0), "view"), (2, ts(50), "purchase"), (2, ts(100), "click"),
+        # u3: no view -> depth 0
+        (3, ts(0), "click"), (3, ts(10), "purchase"),
+        # u4: click at the SAME second as view -> strict > rejects -> depth 1
+        (4, ts(0), "view"), (4, ts(0), "click"),
+        # u5: click outside the window -> depth 1
+        (5, ts(0), "view"), (5, ts(W + 1), "click"),
+        # u6: purchase outside the window anchored at t1 -> depth 2
+        (6, ts(0), "view"), (6, ts(10), "click"), (6, ts(W + 1), "purchase"),
+        # u7: anchor = EARLIEST view (50), so click@60 counts -> depth 2
+        (7, ts(100), "view"), (7, ts(50), "view"), (7, ts(60), "click"),
+        # noise event types are ignored entirely
+        (1, ts(150), "error"), (3, ts(5), "error"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r["user_id"]: r["depth"]
+        for r in funnel(
+            ev, ["view", "click", "purchase"], window_s=W
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 0, 4: 1, 5: 1, 6: 2, 7: 2}
