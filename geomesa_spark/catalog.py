@@ -1489,9 +1489,9 @@ FROM embeddings
 GJ_HALF = 0.75  # half-size of the per-event box geometries (degrees)
 
 
-def _event_box_geoms(pts):
-    """WKB box geometry per event (batched construction) — the non-point-row
-    fixture for the XZ2/XZ3 join entries."""
+def _event_box_geoms(pts, half: float = GJ_HALF):
+    """WKB box geometry per row (batched construction) — the non-point-row
+    fixture for the XZ2/XZ3/table-join entries."""
 
     @F.pandas_udf("binary")
     def box_wkb(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -1503,8 +1503,8 @@ def _event_box_geoms(pts):
         lo = lon.to_numpy(dtype=np.float64)
         la = lat.to_numpy(dtype=np.float64)
         n = len(lo)
-        x0, y0 = lo - GJ_HALF, la - GJ_HALF
-        x1, y1 = lo + GJ_HALF, la + GJ_HALF
+        x0, y0 = lo - half, la - half
+        x1, y1 = lo + half, la + half
         coords = np.empty((n, 10), dtype="<f8")
         coords[:, 0::2] = np.column_stack([x0, x1, x1, x0, x0])
         coords[:, 1::2] = np.column_stack([y0, y0, y1, y1, y0])
@@ -1520,6 +1520,50 @@ def _event_box_geoms(pts):
         "geom",
         box_wkb(F.col("lon").cast("double"), F.col("lat").cast("double")),
     )
+
+
+GJT_HALF = 6.0  # nation-box half-size for the table-to-table join entry
+NATION_LON = "(cast((n_nationkey * 2654435761) % 3600000 as double) / 10000.0 - 180.0)"
+NATION_LAT = "(cast((n_nationkey * 40503) % 1800000 as double) / 10000.0 - 90.0)"
+
+
+def q_geo_geom_join_tables(spark, sf_dir):
+    """Two-relation geometry join (both sides DataFrames of WKB — no driver
+    polygon dict): event boxes x nation boxes through the grid-partitioned
+    cell join + dedup + exact refine. The oracle is the brute-force
+    box-intersects join in SQL (boxes make DE-9IM intersects exactly
+    expressible as coordinate comparisons)."""
+    from .operators.geometry_join import geometry_join_tables
+
+    left = _event_box_geoms(_points(spark, sf_dir)).select("event_id", "geom")
+    (nation,) = _load(spark, sf_dir, "nation")
+    nb = nation.select(
+        # long id: the bbox-keys Arrow stage emits int64 from pandas, so an
+        # int32 id column would mismatch the declared schema
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.expr(NATION_LON).cast("double").alias("lon"),
+        F.expr(NATION_LAT).cast("double").alias("lat"),
+    )
+    right = _event_box_geoms(nb, half=GJT_HALF).select("n_nationkey", "geom")
+    pairs = geometry_join_tables(
+        left, right, left_id="event_id", right_id="n_nationkey"
+    )
+    return pairs.groupBy("n_nationkey").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    ).select(F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_pairs")
+
+
+def _oracle_geo_geom_join_tables():
+    h, g = GJT_HALF, GJ_HALF
+    return f"""
+WITH pts AS (SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+nb AS (SELECT n_nationkey, {NATION_LON} AS nlon, {NATION_LAT} AS nlat FROM nation)
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pts JOIN nb
+  ON lon + {g} >= nlon - {h} AND lon - {g} <= nlon + {h}
+ AND lat + {g} >= nlat - {h} AND lat - {g} <= nlat + {h}
+GROUP BY 1
+"""
 
 
 def q_geo_geom_join(spark, sf_dir):
@@ -2568,6 +2612,7 @@ QUERIES = {
     "embed_neardup": (q_embed_neardup, _oracle_embed_neardup_lsh()),
     "embed_neardup_exact": (q_embed_neardup_exact, _oracle_embed_neardup()),
     "geo_geom_join": (q_geo_geom_join, _oracle_geo_geom_join()),
+    "geo_geom_join_tables": (q_geo_geom_join_tables, _oracle_geo_geom_join_tables()),
     "geo_geom_join_time": (q_geo_geom_join_time, _oracle_geo_geom_join_time()),
     "geo_where_spatial": (q_geo_where_spatial, _oracle_geo_where_spatial()),
     # rows-only (non-SQL-expressible)

@@ -12,7 +12,11 @@ from .dedup import (  # noqa: F401
     winnow_overlap_pairs,
 )
 from .density import cell_density, density, tile_pyramid  # noqa: F401
-from .geometry_join import geometry_join, geometry_join_time  # noqa: F401
+from .geometry_join import (  # noqa: F401
+    geometry_join,
+    geometry_join_tables,
+    geometry_join_time,
+)
 from .hull import convex_hull, convex_hull_vertices  # noqa: F401
 from .knn import knn_join, knn_join_table  # noqa: F401
 from .proximity import lookup_join, proximity_join  # noqa: F401

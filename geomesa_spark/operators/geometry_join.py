@@ -294,3 +294,66 @@ def geometry_join(
         geom_col,
     )
     return out.drop("__rid") if gen_rid else out
+
+
+def geometry_join_tables(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+    predicate: str = "intersects",
+    res_j: int = DEFAULT_JOIN_RES,
+) -> DataFrame:
+    """-> (left_id, right_id): the general grid-partitioned geometry join —
+    BOTH sides are DataFrames of arbitrary WKB geometries (geometry_join's
+    polygon side is a driver dict; this is the two-relation XZ join of the
+    reference's GeoMesaJoinRelation, RelationUtils.scala:39-53, with the
+    dedup it leaves as a TODO made explicit).
+
+    Plan: each side maps to (id, bbox cell @ res_j) keys (one mapInArrow
+    pass per side), ONE equi-join on the cell key — the grid partitioning:
+    both sides shuffle on cell, co-locating spatial neighborhoods — then
+    dropDuplicates((left_id, right_id)) collapses multi-cell matches, the
+    geometries are re-fetched by id (candidates carry two longs through
+    the dedup shuffle, never WKB payloads), and the exact DE-9IM refine
+    runs as a mapInPandas barrier. Hot cells are AQE skew-join territory;
+    ids must be unique per side (required for the dedup and re-fetch).
+    """
+    l_small = narrow_is_small(left)
+    r_small = narrow_is_small(right)
+    lk = _bbox_cell_keys(
+        spread_small(left.select(left_id, left_geom), known_small=l_small),
+        left_geom, left_id, res_j,
+    )
+    rk = _bbox_cell_keys(
+        spread_small(right.select(right_id, right_geom), known_small=r_small),
+        right_geom, right_id, res_j,
+    )
+    cand = (
+        lk.join(rk.withColumnRenamed("ccell", "ccell"), "ccell")
+        .select(left_id, right_id)
+        .dropDuplicates([left_id, right_id])
+    )
+    pairs = (
+        cand.join(left.select(left_id, F.col(left_geom).alias("__lg")), left_id)
+        .join(right.select(right_id, F.col(right_geom).alias("__rg")), right_id)
+    )
+    pairs = spread_small(pairs, known_small=l_small or r_small)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pairs.schema
+        if f.name in (left_id, right_id)
+    )
+
+    def refine(batches):
+        for pdf in batches:
+            keep = np.empty(len(pdf), dtype=bool)
+            for i, (lw, rw) in enumerate(zip(pdf["__lg"], pdf["__rg"])):
+                keep[i] = bool(
+                    relate(from_wkb(bytes(lw)), from_wkb(bytes(rw)), predicate)
+                )
+            yield pdf.loc[keep, [c for c in pdf.columns if c in (left_id, right_id)]]
+
+    return pairs.mapInPandas(refine, schema=schema)

@@ -127,3 +127,41 @@ def test_geometry_join_time_semantics_and_pruning(spark):
     cpdf = cand.toPandas()
     assert "b" not in set(cpdf["gid"])       # epoch-bin key pruned it
     assert ("a") in set(cpdf["gid"])         # same geometry, in-window week
+
+
+def test_geometry_join_tables_brute_force(spark):
+    """Two-relation join vs brute force: multi-cell geometries pair ONCE
+    (dedup), disjoint pairs absent, intersects includes containment."""
+    import struct
+
+    from geomesa_spark.operators.geometry_join import geometry_join_tables
+
+    def box_wkb(x0, y0, x1, y1):
+        coords = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+        return (
+            b"\x01" + struct.pack("<III", 3, 1, 5)
+            + b"".join(struct.pack("<dd", x, y) for x, y in coords)
+        )
+
+    # left: three boxes — one HUGE (spans many res-8 cells), one small, one far
+    lrows = [
+        (1, box_wkb(-30.0, -30.0, 30.0, 30.0)),   # huge
+        (2, box_wkb(10.0, 10.0, 11.0, 11.0)),     # small, inside huge's range
+        (3, box_wkb(150.0, 70.0, 151.0, 71.0)),   # far away
+    ]
+    # right: one box inside huge (containment), one overlapping small,
+    # one disjoint from everything
+    rrows = [
+        (100, box_wkb(-1.0, -1.0, 1.0, 1.0)),
+        (200, box_wkb(10.5, 10.5, 12.0, 12.0)),
+        (300, box_wkb(-170.0, -80.0, -169.0, -79.0)),
+    ]
+    l = spark.createDataFrame(lrows, ["lid", "geom"])
+    r = spark.createDataFrame(rrows, ["rid", "geom"])
+    got = {
+        (row["lid"], row["rid"])
+        for row in geometry_join_tables(
+            l, r, left_id="lid", right_id="rid"
+        ).collect()
+    }
+    assert got == {(1, 100), (1, 200), (2, 200)}
