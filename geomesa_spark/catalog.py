@@ -1538,9 +1538,10 @@ def q_geo_geom_join_tables(spark, sf_dir):
     left = _event_box_geoms(_points(spark, sf_dir)).select("event_id", "geom")
     (nation,) = _load(spark, sf_dir, "nation")
     nb = nation.select(
-        # long id: the bbox-keys Arrow stage emits int64 from pandas, so an
-        # int32 id column would mismatch the declared schema
-        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        # the raw (int32) key is intentionally NOT cast: the bbox-keys
+        # Arrow stage emits against its declared schema, so native dtypes
+        # work — this entry exercises that path through the driver gate
+        "n_nationkey",
         F.expr(NATION_LON).cast("double").alias("lon"),
         F.expr(NATION_LAT).cast("double").alias("lat"),
     )

@@ -175,10 +175,32 @@ def _geom_time_candidates(
     return cand, rows, row_id, gen_rid, polys_parsed, small_input
 
 
+_ARROW_OF_SPARK = {
+    "tinyint": pa.int8(),
+    "smallint": pa.int16(),
+    "int": pa.int32(),
+    "bigint": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "string": pa.string(),
+}
+
+
 def _bbox_cell_keys(rows, geom_col, row_id, res_j, extra=()):
     """(row_id, *extra, ccell) keys: one row per bbox cover cell of the row's
-    geometry at res_j (mapInArrow; shared by geometry_join and the XZ3 path)."""
+    geometry at res_j (mapInArrow; shared by geometry_join and the XZ3 path).
+
+    Batches are built against the DECLARED Arrow schema: pandas infers int64
+    for integer lists, which crashes the stage with a schema mismatch when
+    the id column is int32 (e.g. a raw TPC-H key) — the explicit schema
+    makes every caller's dtype work without caller-side casts."""
     extra = list(extra)
+    dtypes = dict(rows.dtypes)
+    out_schema = pa.schema(
+        [(row_id, _ARROW_OF_SPARK.get(dtypes[row_id], pa.int64()))]
+        + [(name, _ARROW_OF_SPARK.get(dtypes[name], pa.int64())) for name in extra]
+        + [("ccell", pa.int64())]
+    )
 
     def bbox_cells(batches):
         for b in batches:
@@ -205,7 +227,7 @@ def _bbox_cell_keys(rows, geom_col, row_id, res_j, extra=()):
                 out[name] = [e[j] for e in extras]
             out["ccell"] = np.concatenate(ccells)
             yield pa.RecordBatch.from_pandas(
-                pd.DataFrame(out), preserve_index=False
+                pd.DataFrame(out), preserve_index=False, schema=out_schema
             )
 
     dtypes = dict(rows.dtypes)
@@ -319,8 +341,19 @@ def geometry_join_tables(
     geometries are re-fetched by id (candidates carry two longs through
     the dedup shuffle, never WKB payloads), and the exact DE-9IM refine
     runs as a mapInPandas barrier. Hot cells are AQE skew-join territory;
-    ids must be unique per side (required for the dedup and re-fetch).
+    ids must be unique per side (required for the dedup and re-fetch) and
+    the two id column names must differ (the pair output carries both).
+
+    Inputs should be scan-rooted (or cheap to recompute): the small-input
+    probe materializes a shuffle-rooted input's stages once extra (see
+    util.narrow_is_small) — persist/write such inputs first, as a
+    production pipeline would.
     """
+    if left_id == right_id:
+        raise ValueError(
+            f"left_id and right_id must differ (both {left_id!r}); alias "
+            "one side before joining"
+        )
     l_small = narrow_is_small(left)
     r_small = narrow_is_small(right)
     lk = _bbox_cell_keys(
@@ -332,7 +365,7 @@ def geometry_join_tables(
         right_geom, right_id, res_j,
     )
     cand = (
-        lk.join(rk.withColumnRenamed("ccell", "ccell"), "ccell")
+        lk.join(rk, "ccell")
         .select(left_id, right_id)
         .dropDuplicates([left_id, right_id])
     )
@@ -340,7 +373,11 @@ def geometry_join_tables(
         cand.join(left.select(left_id, F.col(left_geom).alias("__lg")), left_id)
         .join(right.select(right_id, F.col(right_geom).alias("__rg")), right_id)
     )
-    pairs = spread_small(pairs, known_small=l_small or r_small)
+    # pairs can only be byte-small enough to be AQE-coalesced when BOTH
+    # inputs are small — a huge fact table joined to a tiny dimension must
+    # keep the candidate frame's natural partitioning rather than pay an
+    # extra full shuffle of WKB-carrying pairs
+    pairs = spread_small(pairs, known_small=l_small and r_small)
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in pairs.schema

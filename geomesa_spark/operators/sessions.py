@@ -120,7 +120,12 @@ def funnel(
     per = ev.groupBy(user_col).agg(
         F.sort_array(F.collect_list(F.struct("__t", "__et"))).alias("__evs")
     )
-    steps_arr = "array(" + ", ".join(f"'{s}'" for s in steps) + ")"
+    # SQL-literal-escape step names (quotes/backslashes would break or
+    # silently alter the generated lambda otherwise)
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    steps_arr = "array(" + ", ".join(q(s) for s in steps) + ")"
     win = (
         f"acc.t0 + {int(window_s)}" if window_s is not None else f"e.__t"
     )  # unbounded window: e.__t <= e.__t is always true

@@ -165,3 +165,33 @@ def test_geometry_join_tables_brute_force(spark):
         ).collect()
     }
     assert got == {(1, 100), (1, 200), (2, 200)}
+
+
+def test_geometry_join_tables_int32_ids_and_same_name_guard(spark):
+    """int32 id columns must work without caller-side casts (the Arrow
+    stage emits against the declared schema), and identical id names on
+    both sides are rejected up front."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.geometry_join import geometry_join_tables
+
+    def box_wkb(x0, y0, x1, y1):
+        coords = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+        return (
+            b"\x01" + struct.pack("<III", 3, 1, 5)
+            + b"".join(struct.pack("<dd", x, y) for x, y in coords)
+        )
+
+    l = spark.createDataFrame(
+        [(1, box_wkb(0.0, 0.0, 2.0, 2.0))], ["lid", "geom"]
+    ).withColumn("lid", F.col("lid").cast("int"))
+    r = spark.createDataFrame(
+        [(9, box_wkb(1.0, 1.0, 3.0, 3.0))], ["rid", "geom"]
+    ).withColumn("rid", F.col("rid").cast("int"))
+    got = geometry_join_tables(l, r, left_id="lid", right_id="rid").collect()
+    assert [(row["lid"], row["rid"]) for row in got] == [(1, 9)]
+    with pytest.raises(ValueError, match="must differ"):
+        geometry_join_tables(l, r.withColumnRenamed("rid", "lid"),
+                             left_id="lid", right_id="lid")

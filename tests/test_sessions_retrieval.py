@@ -196,3 +196,22 @@ def test_funnel_greedy_semantics(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 2, 3: 0, 4: 1, 5: 1, 6: 2, 7: 2}
+
+
+def test_funnel_step_names_with_quotes(spark):
+    import datetime as dt
+
+    from geomesa_spark.operators.sessions import funnel
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (1, t0, "add'to'cart"),
+        (1, t0 + dt.timedelta(seconds=5), "purchase"),
+        (2, t0, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r["user_id"]: r["depth"]
+        for r in funnel(ev, ["add'to'cart", "purchase"]).collect()
+    }
+    assert got == {1: 2, 2: 0}
