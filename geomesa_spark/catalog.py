@@ -1392,6 +1392,27 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_transitions(spark, sf_dir):
+    """First-order event-transition matrix (Markov next-action counts):
+    one lead() window on the user key, one map-side-combinable aggregate;
+    ties broken by event_id so counts are parallelism-independent."""
+    from .operators.sessions import transition_counts
+
+    (events,) = _load(spark, sf_dir, "events")
+    return transition_counts(events)
+
+
+def _oracle_events_transitions():
+    return """
+WITH nxt AS (SELECT event_type AS from_type,
+                    lead(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS to_type
+             FROM events)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 FUNNEL_WINDOW_S = 3 * 86400
 
@@ -2601,6 +2622,7 @@ QUERIES = {
     "text_bm25": (q_text_bm25, _oracle_text_bm25()),
     "events_sessionize": (q_events_sessionize, _oracle_events_sessionize()),
     "events_funnel": (q_events_funnel, _oracle_events_funnel()),
+    "events_transitions": (q_events_transitions, _oracle_events_transitions()),
     "events_asof": (q_events_asof, _oracle_events_asof()),
     "docs_sample_stratified": (q_docs_sample_stratified, _oracle_docs_sample_stratified()),
     "text_fingerprint": (q_text_fingerprint, _oracle_text_fingerprint()),

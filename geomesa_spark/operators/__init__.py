@@ -25,7 +25,13 @@ from .raster import resize_images, tile_assignments, tile_density  # noqa: F401
 from .asof import asof_join  # noqa: F401
 from .retrieval import bm25_topk  # noqa: F401
 from .sampling import sample_fraction, sample_nth, sample_stratified  # noqa: F401
-from .sessions import funnel, funnel_counts, session_stats, sessionize  # noqa: F401
+from .sessions import (  # noqa: F401
+    funnel,
+    funnel_counts,
+    session_stats,
+    sessionize,
+    transition_counts,
+)
 from .spatial_join import prepare_polygons, spatial_join  # noqa: F401
 from .stats import quantiles_by, run_stats  # noqa: F401
 from .tracks import point2point, route_search, track_label, tube_select  # noqa: F401

@@ -153,3 +153,32 @@ def funnel_counts(depths: DataFrame) -> DataFrame:
     """-> (depth, n_users) rollup of a funnel() result (depth >= 1; users
     with no step-1 event are grouped under their actual depth 0)."""
     return depths.groupBy("depth").agg(F.count("*").cast("long").alias("n_users"))
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str | None = "event_id",
+) -> DataFrame:
+    """-> (from_type, to_type, n): first-order transition counts between
+    consecutive events of each entity (the Markov matrix behind
+    next-action analytics and funnel discovery). ONE shuffle on the entity
+    key shared by the lead() window and nothing else; the aggregate over
+    (from, to) is map-side combinable. Ties on the event time are broken
+    by ``tie_col`` so the sequence — and therefore the counts — are
+    deterministic at any parallelism."""
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tie_col).asc()] if tie_col else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    return (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
