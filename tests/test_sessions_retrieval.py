@@ -215,3 +215,51 @@ def test_funnel_step_names_with_quotes(spark):
         for r in funnel(ev, ["add'to'cart", "purchase"]).collect()
     }
     assert got == {1: 2, 2: 0}
+
+
+def test_funnel_fuzz_vs_brute_force(spark):
+    """Randomized event streams vs a direct Python implementation of the
+    greedy earliest-completion scan — windowed and unbounded."""
+    import datetime as dt
+
+    import numpy as np
+
+    from geomesa_spark.operators.sessions import funnel
+
+    rng = np.random.default_rng(21)
+    types = ["view", "click", "purchase", "error"]
+    steps = ["view", "click", "purchase"]
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for u in range(40):
+        n = int(rng.integers(1, 15))
+        secs = sorted(int(s) for s in rng.integers(0, 500, n))
+        for s in secs:
+            rows.append((u, t0 + dt.timedelta(seconds=s), types[rng.integers(0, 4)]))
+
+    def brute(window):
+        per: dict[int, list[tuple[int, str]]] = {}
+        for u, ts, et in rows:
+            if et in steps:
+                per.setdefault(u, []).append((int(ts.timestamp()), et))
+        out = {}
+        for u, evs in per.items():
+            evs.sort()
+            d, tp, t_anchor = 0, 0, 0
+            for t, et in evs:
+                if d == 0 and et == steps[0]:
+                    d, tp, t_anchor = 1, t, t
+                elif 0 < d < len(steps) and et == steps[d] and t > tp and (
+                    window is None or t <= t_anchor + window
+                ):
+                    d, tp = d + 1, t
+            out[u] = d
+        return out
+
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    for window in (None, 120, 300):
+        got = {
+            r["user_id"]: r["depth"]
+            for r in funnel(ev, steps, window_s=window).collect()
+        }
+        assert got == brute(window), f"window={window}"
