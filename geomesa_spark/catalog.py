@@ -1392,6 +1392,40 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+RETENTION_PERIOD_S = 604_800
+
+
+def q_events_cohorts(spark, sf_dir):
+    """Weekly cohort retention: users cohorted by first-event week,
+    distinct-active counts per (cohort, offset). The cohort derives from a
+    window-min INSIDE the distinct's user-keyed shuffle — no second scan
+    of the events table."""
+    from .operators.sessions import cohort_retention
+
+    (events,) = _load(spark, sf_dir, "events")
+    return cohort_retention(events, period_s=RETENTION_PERIOD_S).select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("offset").cast("long").alias("offset"),
+        "n_users",
+    )
+
+
+def _oracle_events_cohorts():
+    p = RETENTION_PERIOD_S
+    # same IEEE double division as the engine (epoch keeps fractional
+    # seconds in both; dividing doubles then flooring matches bit-for-bit)
+    return f"""
+WITH act AS (SELECT DISTINCT user_id,
+                    CAST(floor(CAST(epoch(ts) AS DOUBLE) / {p}) AS BIGINT) AS pd
+             FROM events),
+coh AS (SELECT user_id, pd, min(pd) OVER (PARTITION BY user_id) AS cohort FROM act)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(pd - cohort AS BIGINT) AS offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM coh GROUP BY 1, 2
+"""
+
+
 def q_events_transitions(spark, sf_dir):
     """First-order event-transition matrix (Markov next-action counts):
     one lead() window on the user key, one map-side-combinable aggregate;
@@ -2623,6 +2657,7 @@ QUERIES = {
     "events_sessionize": (q_events_sessionize, _oracle_events_sessionize()),
     "events_funnel": (q_events_funnel, _oracle_events_funnel()),
     "events_transitions": (q_events_transitions, _oracle_events_transitions()),
+    "events_cohorts": (q_events_cohorts, _oracle_events_cohorts()),
     "events_asof": (q_events_asof, _oracle_events_asof()),
     "docs_sample_stratified": (q_docs_sample_stratified, _oracle_docs_sample_stratified()),
     "text_fingerprint": (q_text_fingerprint, _oracle_text_fingerprint()),

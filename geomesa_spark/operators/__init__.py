@@ -26,6 +26,7 @@ from .asof import asof_join  # noqa: F401
 from .retrieval import bm25_topk  # noqa: F401
 from .sampling import sample_fraction, sample_nth, sample_stratified  # noqa: F401
 from .sessions import (  # noqa: F401
+    cohort_retention,
     funnel,
     funnel_counts,
     session_stats,

@@ -182,3 +182,44 @@ def transition_counts(
         .groupBy("from_type", "to_type")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 604_800,
+) -> DataFrame:
+    """-> (cohort, offset, n_users): classic cohort retention — users are
+    cohorted by the period (default: epoch week) of their FIRST event;
+    ``n_users`` counts distinct users of that cohort active ``offset``
+    periods later (offset 0 row = the cohort size, so rates are
+    n_users / n_users@offset0).
+
+    One pass builds distinct (user, period) activity (map-side combinable
+    distinct), a window-min derives each user's cohort WITHIN the same
+    user-keyed shuffle (no second scan, no self-join of the events table),
+    and the final aggregate runs over the reduced activity frame — at
+    10^12 events the only full-table shuffle is the distinct.
+    """
+    act = (
+        events.select(
+            F.col(user_col),
+            F.floor(
+                F.col(ts_col).cast("timestamp").cast("double") / F.lit(period_s)
+            )
+            .cast("long")
+            .alias("__p"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(user_col)
+    return (
+        act.withColumn("__cohort", F.min("__p").over(w))
+        .select(
+            F.col("__cohort").alias("cohort"),
+            (F.col("__p") - F.col("__cohort")).alias("offset"),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

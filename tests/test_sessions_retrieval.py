@@ -263,3 +263,33 @@ def test_funnel_fuzz_vs_brute_force(spark):
             for r in funnel(ev, steps, window_s=window).collect()
         }
         assert got == brute(window), f"window={window}"
+
+
+def test_cohort_retention_brute_force(spark):
+    import datetime as dt
+
+    from geomesa_spark.operators.sessions import cohort_retention
+
+    P = 100  # tiny period for the test
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        # u1: first in period 0, active 0,1,3 (two events in p1 count once)
+        (1, 5), (1, 110), (1, 150), (1, 330),
+        # u2: first in period 1, active 1,2
+        (2, 120), (2, 260),
+        # u3: single event in period 0
+        (3, 80),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t0 + dt.timedelta(seconds=s), "view") for u, s in rows],
+        ["user_id", "ts", "event_type"],
+    )
+    got = {
+        (r["cohort"], r["offset"]): r["n_users"]
+        for r in cohort_retention(ev, period_s=P).collect()
+    }
+    base = int(t0.timestamp()) // P
+    assert got == {
+        (base, 0): 2, (base, 1): 1, (base, 3): 1,   # cohort of u1+u3
+        (base + 1, 0): 1, (base + 1, 1): 1,          # cohort of u2
+    }
