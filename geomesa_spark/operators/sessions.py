@@ -196,13 +196,17 @@ def cohort_retention(
     periods later (offset 0 row = the cohort size, so rates are
     n_users / n_users@offset0).
 
-    One pass builds distinct (user, period) activity (map-side combinable
-    distinct), a window-min derives each user's cohort WITHIN the same
-    user-keyed shuffle (no second scan, no self-join of the events table),
-    and the final aggregate runs over the reduced activity frame — at
-    10^12 events the only full-table shuffle is the distinct.
+    The full table shuffles ONCE, keyed by user: collect_set of the
+    user's distinct periods (map-side combined — duplicate periods never
+    cross the wire) yields both the cohort (array_min) and the activity
+    rows (explode) with no window sort and no (user, period) re-shuffle —
+    a distinct + window-min formulation costs an extra exchange because
+    the distinct's (user, period) partitioning cannot serve the user-only
+    window. Per-user state is that user's distinct-period set (bounded by
+    the observation span in periods). The final aggregate runs over the
+    reduced activity frame.
     """
-    act = (
+    per = (
         events.select(
             F.col(user_col),
             F.floor(
@@ -211,15 +215,14 @@ def cohort_retention(
             .cast("long")
             .alias("__p"),
         )
-        .distinct()
+        .groupBy(user_col)
+        .agg(F.collect_set("__p").alias("__ps"))
     )
-    w = Window.partitionBy(user_col)
     return (
-        act.withColumn("__cohort", F.min("__p").over(w))
-        .select(
-            F.col("__cohort").alias("cohort"),
-            (F.col("__p") - F.col("__cohort")).alias("offset"),
+        per.select(
+            F.array_min("__ps").alias("cohort"), F.explode("__ps").alias("__p")
         )
+        .select("cohort", (F.col("__p") - F.col("cohort")).alias("offset"))
         .groupBy("cohort", "offset")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
