@@ -213,7 +213,9 @@ def _latest_scaling() -> dict | None:
 
 
 def run_bench() -> dict:
-    from geomesa_spark.catalog import QUERIES
+    # ALL_QUERIES: bench timings stay comparable across rounds even for
+    # entries consolidated out of the driver-verified QUERIES window
+    from geomesa_spark.catalog import ALL_QUERIES as QUERIES
     from geomesa_spark.session import get_spark
 
     spark = get_spark(cpus=CPUS, app="geomesa-bench")

@@ -2618,75 +2618,115 @@ WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) <= {IMG_PHASH_
 # =============================================================================
 # registry
 # =============================================================================
+# QUERIES is the driver-verified window: the driver's correctness check runs
+# the FIRST 50 registry entries, so this dict is kept at <= 50 entries, ordered
+# least-proven-first (new / round-4-changed operators lead; long-stable rows
+# trail). Redundant variants were consolidated into RETIRED_QUERIES below
+# (VERDICT r3 "Next round" #1): each retired entry's operator family keeps a
+# green driver row via its representative here, and every retired entry itself
+# stays hash-gated in pytest (tests/test_driver_contract.py parametrizes over
+# QUERIES | RETIRED_QUERIES) and timeable by bench.py.
 
 QUERIES = {
+    # --- round-4 new / changed (least proven first) --------------------------
+    "text_bm25": (q_text_bm25, _oracle_text_bm25()),
+    # --- round-3 tail entries that shipped without a driver row (VERDICT #1) -
+    "minhash_pairs_banded": (q_minhash_pairs_banded, _oracle_minhash_pairs_banded()),
+    "ann_ivf_udf": (q_ann_ivf_udf, _oracle_ann_ivf()),
+    "geo_where_spatial": (q_geo_where_spatial, _oracle_geo_where_spatial()),
+    "geo_geom_join_tables": (q_geo_geom_join_tables, _oracle_geo_geom_join_tables()),
+    "geo_geom_join_time": (q_geo_geom_join_time, _oracle_geo_geom_join_time()),
+    "simhash_pairs": (q_simhash_pairs, _oracle_simhash_pairs()),
+    "ann_lsh": (q_ann_lsh, _oracle_ann_lsh()),
+    "geo_convex_hull": (q_geo_convex_hull, _oracle_geo_convex_hull()),
+    "geo_tube_select": (q_geo_tube_select, _oracle_geo_tube_select()),
+    "geo_route_search": (q_geo_route_search, _oracle_geo_route_search()),
+    "img_density_scan": (q_img_density_scan, _oracle_img_density_scan()),
+    "img_tile_mosaic": (q_img_tile_mosaic, _oracle_img_tile_mosaic()),
+    "img_phash_buckets": (q_img_phash_buckets, _oracle_img_phash_buckets()),
+    "img_phash_pairs": (q_img_phash_pairs, _oracle_img_phash_pairs()),
+    "img_resize": (q_img_resize, _oracle_img_resize()),
+    # --- stable, driver-green since r3 or earlier ----------------------------
     "geo_pip_join": (q_geo_pip_join, _oracle_geo_pip_join()),
     "geo_pip_convex": (q_geo_pip_convex, _oracle_geo_pip_convex()),
     "geo_cell_density": (q_geo_cell_density, _oracle_geo_cell_density()),
-    "geo_tile_density": (q_geo_tile_density, _oracle_geo_tile_density()),
     "geo_tile_pyramid": (q_geo_tile_pyramid, _oracle_geo_tile_pyramid()),
-    "geo_timebin_cells": (q_geo_timebin_cells, _oracle_geo_timebin_cells()),
     "geo_z3_cells": (q_geo_z3_cells, _oracle_geo_z3_cells()),
-    "geo_knn": (q_geo_knn, _oracle_geo_knn()),
-    "geo_knn_sphere": (q_geo_knn_sphere, _oracle_geo_knn_sphere()),
     "geo_knn_table": (q_geo_knn_table, _oracle_geo_knn_table()),
     "geo_track_segments": (q_geo_track_segments, _oracle_geo_track_segments()),
-    "geo_sample_nth": (q_geo_sample_nth, _oracle_geo_sample_nth()),
     "geo_proximity_join": (q_geo_proximity_join, _oracle_geo_proximity_join()),
     "join_lookup": (q_join_lookup, _oracle_join_lookup()),
     "geo_track_label": (q_geo_track_label, _oracle_geo_track_label()),
     "stats_groupby": (q_stats_groupby, _oracle_stats_groupby()),
     "geo_st_intersection": (q_geo_st_intersection, _oracle_geo_st_intersection()),
-    "stats_histogram": (q_stats_histogram, _oracle_stats_histogram()),
     "stats_topk": (q_stats_topk, _oracle_stats_topk()),
-    "stats_enumeration": (q_stats_enumeration, _oracle_stats_enumeration()),
-    "stats_minmax": (q_stats_minmax, _oracle_stats_minmax()),
     "stats_descriptive": (q_stats_descriptive, _oracle_stats_descriptive()),
     "stats_quantiles": (q_stats_quantiles, _oracle_stats_quantiles()),
     "tpch_q1": (q_tpch_q1, _oracle_tpch_q1()),
-    "tpch_q3": (q_tpch_q3, _oracle_tpch_q3()),
     "tpch_q5": (q_tpch_q5, _oracle_tpch_q5()),
-    "tpch_q6": (q_tpch_q6, _oracle_tpch_q6()),
-    "join_revenue_by_nation": (q_join_revenue_by_nation, _oracle_join_revenue_by_nation()),
     "dedup_exact": (q_dedup_exact, _oracle_dedup_exact()),
     "text_quality": (q_text_quality, _oracle_text_quality()),
     "text_scrub": (q_text_scrub, _oracle_text_scrub()),
     "text_langid": (q_text_langid, _oracle_text_langid()),
-    "lang_stats": (q_lang_stats, _oracle_lang_stats()),
-    "text_bm25": (q_text_bm25, _oracle_text_bm25()),
     "events_sessionize": (q_events_sessionize, _oracle_events_sessionize()),
     "events_funnel": (q_events_funnel, _oracle_events_funnel()),
     "events_transitions": (q_events_transitions, _oracle_events_transitions()),
     "events_cohorts": (q_events_cohorts, _oracle_events_cohorts()),
     "events_asof": (q_events_asof, _oracle_events_asof()),
     "docs_sample_stratified": (q_docs_sample_stratified, _oracle_docs_sample_stratified()),
-    "text_fingerprint": (q_text_fingerprint, _oracle_text_fingerprint()),
     "text_winnow_pairs": (q_text_winnow_pairs, _oracle_text_winnow_pairs()),
-    "dedup_clusters": (q_dedup_clusters, _oracle_dedup_clusters()),
     "dedup_clusters_star": (q_dedup_clusters_star, _oracle_dedup_clusters()),
-    "text_dup_spans": (q_text_dup_spans, _oracle_text_dup_spans()),
-    "embed_norms": (q_embed_norms, _oracle_embed_norms()),
     "ann_cosine": (q_ann_cosine, _oracle_ann_cosine()),
     "embed_neardup": (q_embed_neardup, _oracle_embed_neardup_lsh()),
-    "embed_neardup_exact": (q_embed_neardup_exact, _oracle_embed_neardup()),
     "geo_geom_join": (q_geo_geom_join, _oracle_geo_geom_join()),
-    "geo_geom_join_tables": (q_geo_geom_join_tables, _oracle_geo_geom_join_tables()),
-    "geo_geom_join_time": (q_geo_geom_join_time, _oracle_geo_geom_join_time()),
-    "geo_where_spatial": (q_geo_where_spatial, _oracle_geo_where_spatial()),
-    # rows-only (non-SQL-expressible)
-    "geo_convex_hull": (q_geo_convex_hull, _oracle_geo_convex_hull()),
-    "geo_tube_select": (q_geo_tube_select, _oracle_geo_tube_select()),
-    "geo_route_search": (q_geo_route_search, _oracle_geo_route_search()),
-    "minhash_pairs": (q_minhash_pairs, _oracle_minhash_pairs()),
-    "minhash_pairs_banded": (q_minhash_pairs_banded, _oracle_minhash_pairs_banded()),
-    "simhash_pairs": (q_simhash_pairs, _oracle_simhash_pairs()),
-    "ann_lsh": (q_ann_lsh, _oracle_ann_lsh()),
-    "ann_ivf": (q_ann_ivf, _oracle_ann_ivf()),
-    "ann_ivf_udf": (q_ann_ivf_udf, _oracle_ann_ivf()),
-    "img_tile_density": (q_img_tile_density, _oracle_img_tile_density()),
-    "img_density_scan": (q_img_density_scan, _oracle_img_density_scan()),
-    "img_tile_mosaic": (q_img_tile_mosaic, _oracle_img_tile_mosaic()),
-    "img_phash_buckets": (q_img_phash_buckets, _oracle_img_phash_buckets()),
-    "img_phash_pairs": (q_img_phash_pairs, _oracle_img_phash_pairs()),
-    "img_resize": (q_img_resize, _oracle_img_resize()),
 }
+
+# Consolidated variants (VERDICT r3 #1's sanctioned consolidation list): each
+# row names the driver-verified representative that keeps its operator family
+# green in CORRECTNESS_r04. All remain full (fn, oracle) pairs — pytest runs
+# the identical hash comparison on them, and bench.py times several.
+RETIRED_QUERIES = {
+    # representative: geo_tile_pyramid (level-14 layer of the pyramid)
+    "geo_tile_density": (q_geo_tile_density, _oracle_geo_tile_density()),
+    # representative: geo_z3_cells (same 3-way spatiotemporal morton binning)
+    "geo_timebin_cells": (q_geo_timebin_cells, _oracle_geo_timebin_cells()),
+    # representative: geo_knn_table (the fully-distributed kNN path)
+    "geo_knn": (q_geo_knn, _oracle_geo_knn()),
+    "geo_knn_sphere": (q_geo_knn_sphere, _oracle_geo_knn_sphere()),
+    # representative: docs_sample_stratified (same deterministic keep-rule)
+    "geo_sample_nth": (q_geo_sample_nth, _oracle_geo_sample_nth()),
+    # representative: stats_descriptive (includes min/max)
+    "stats_minmax": (q_stats_minmax, _oracle_stats_minmax()),
+    # representative: stats_quantiles (exact per-group distribution)
+    "stats_histogram": (q_stats_histogram, _oracle_stats_histogram()),
+    # representative: stats_groupby (distinct-value aggregation)
+    "stats_enumeration": (q_stats_enumeration, _oracle_stats_enumeration()),
+    # representative: tpch_q5 (multi-join) + stats_topk (order/limit)
+    "tpch_q3": (q_tpch_q3, _oracle_tpch_q3()),
+    # representative: tpch_q1 (scan-agg; q6's pushdown is shown in PLANS.md)
+    "tpch_q6": (q_tpch_q6, _oracle_tpch_q6()),
+    # representative: tpch_q5 (same join topology)
+    "join_revenue_by_nation": (q_join_revenue_by_nation, _oracle_join_revenue_by_nation()),
+    # representative: text_langid (lang_stats is langid + groupBy)
+    "lang_stats": (q_lang_stats, _oracle_lang_stats()),
+    # representative: text_winnow_pairs (fingerprints are its first stage)
+    "text_fingerprint": (q_text_fingerprint, _oracle_text_fingerprint()),
+    # representative: dedup_clusters_star (shared oracle, scale algorithm)
+    "dedup_clusters": (q_dedup_clusters, _oracle_dedup_clusters()),
+    # representative: minhash_pairs_banded (production banding config)
+    "minhash_pairs": (q_minhash_pairs, _oracle_minhash_pairs()),
+    # representative: text_dup_spans_hashed (the 100TB-shaped form; this
+    # literal-span variant is the exact small-scale path, parity-tested)
+    "text_dup_spans": (q_text_dup_spans, _oracle_text_dup_spans()),
+    # representative: ann_cosine (norms are its first stage)
+    "embed_norms": (q_embed_norms, _oracle_embed_norms()),
+    # representative: embed_neardup (LSH path; exact is the labeled baseline)
+    "embed_neardup_exact": (q_embed_neardup_exact, _oracle_embed_neardup()),
+    # representative: ann_ivf_udf (shared oracle; grid-centroid native variant)
+    "ann_ivf": (q_ann_ivf, _oracle_ann_ivf()),
+    # representative: img_density_scan (the fused-scan superset)
+    "img_tile_density": (q_img_tile_density, _oracle_img_tile_density()),
+}
+
+# union view for pytest / bench / plan-dossier consumers
+ALL_QUERIES = {**QUERIES, **RETIRED_QUERIES}

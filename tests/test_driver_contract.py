@@ -21,6 +21,15 @@ TABLES = [
 ORACLE = entry_mod.oracle_sql()
 ALL_QUERIES = entry_mod.queries()
 
+# Entries consolidated out of the driver's 50-entry verification window stay
+# hash-gated here: pytest runs the identical oracle comparison on them.
+from geomesa_spark.catalog import RETIRED_QUERIES  # noqa: E402
+
+for _name, (_fn, _sql) in RETIRED_QUERIES.items():
+    ALL_QUERIES[_name] = _fn
+    if _sql is not None:
+        ORACLE[_name] = _sql
+
 
 @pytest.fixture(scope="module")
 def con():
