@@ -7,16 +7,21 @@ given a bag-of-words query, score every document with Okapi BM25
 return the top-k. Used in practice to mine domain-relevant training
 documents from a crawled corpus.
 
-Spark-first shape — every stage is native SQL under whole-stage codegen:
+Spark-first shape — every stage is native SQL under whole-stage codegen,
+and the corpus text is scanned exactly ONCE:
 
-- tokenize = ``split(lower(text))`` + ``explode`` (one pass, no UDF);
-- doc lengths / term frequencies / document frequencies are partial+final
-  aggregates on (doc) and (doc, term) keys;
-- corpus stats (N, avgdl) are a single-row aggregate broadcast-joined in
-  (a BroadcastNestedLoopJoin of exactly one row — no driver action);
-- query terms prune the exploded token stream EARLY (``isin`` filter
-  before the tf aggregate), so only matching-term rows shuffle: at 100 TB
-  the shuffled volume is ~(matching tokens), not (all tokens);
+- one projection tokenizes each document (``split(lower(text))``) and, in
+  the same codegen stage, derives the doc length (``size``) and the
+  per-query-term frequency (``size(filter(toks, x -> x == term))`` — the
+  query is a small literal bag, so tf is a map-side expression, never a
+  (doc, term) shuffle). The resulting frame is (id, dl, tf[|Q|]) — a few
+  dozen bytes per document, no text — and is persisted so the two
+  consumers below cost one text scan total, not one each;
+- corpus stats (N, avgdl over tokenized docs) are a single-row aggregate
+  broadcast-joined in (a BroadcastNestedLoopJoin of exactly one row);
+- per-term document frequencies aggregate the exploded matching terms
+  (at most |Q| rows per matching document reach this shuffle: at 100 TB
+  the shuffled volume is ~(matching docs x |Q| longs), not (all tokens));
 - top-k is ``ORDER BY score LIMIT k`` = Spark's TakeOrderedAndProject
   (per-partition heap + driver merge of k rows, no global sort).
 
@@ -57,24 +62,51 @@ def bm25_topk(
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); tf component
     tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)). Documents matching no query
     term never appear (score floor is > 0 for any match since idf > 0).
+    N/avgdl count documents with at least one token (a zero-token document
+    contributes nothing to the corpus statistics, matching the tokenize->
+    aggregate definition).
     """
-    toks = tokens(df, text_col, id_col)
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    stats = dl.agg(
+    toks_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != ""
+    )
+
+    def _tf(term: str):
+        # single-parameter lambda: a 2-arg lambda would make F.filter bind
+        # the second name to the ELEMENT INDEX, not the closed-over term
+        return F.size(F.filter(toks_arr, lambda x: x == F.lit(term)))
+
+    # ONE pass over the text column: dl and every per-term tf come out of the
+    # same projection. |Q| is a small literal bag, so this is |Q| codegen
+    # array scans per row — still one IO scan and zero tokenize shuffles.
+    base = df.select(
+        F.col(id_col),
+        F.size(toks_arr).alias("dl"),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tok"),
+                    _tf(t).cast("long").alias("tf"),
+                )
+                for t in query_terms
+            ]
+        ).alias("tfs"),
+    ).persist()
+
+    # single-row corpus stats over tokenized docs (dl > 0)
+    stats = base.filter(F.col("dl") > 0).agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    tf = (
-        toks.filter(F.col("tok").isin(list(query_terms)))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("tok").agg(F.countDistinct(id_col).cast("double").alias("df"))
+    # (id, dl, tok, tf) for matching terms only — <= |Q| rows per doc
+    matched = base.select(
+        id_col,
+        "dl",
+        F.explode(F.filter(F.col("tfs"), lambda s: s["tf"] > 0)).alias("s"),
+    ).select(id_col, "dl", F.col("s.tok").alias("tok"), F.col("s.tf").alias("tf"))
+    # tf > 0 is per-doc by construction, so df(t) = count(*), no distinct
+    dfreq = matched.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
     scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        # dl is doc-cardinality: shuffle join on the doc key, which the
-        # final groupBy(id) reuses — one Exchange serves both
-        .join(dl, id_col)
+        matched.join(F.broadcast(dfreq), "tok")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
