@@ -1191,6 +1191,75 @@ def q_text_dup_spans(spark, sf_dir):
     )
 
 
+DUPSPAN_S = 8  # content-defined sampling density: keep i where h1 % 8 == 0
+
+
+def q_text_dup_spans_hashed(spark, sf_dir):
+    """The 100-TB form of exact-substring duplication coverage (Lee et al.
+    2022 §4): span keys are two independent 63-bit polynomial hashes instead
+    of literal 32-char strings, and only positions whose h1 is 0 mod 8 enter
+    the shuffle (content-defined sampling — shift-invariant, so the same
+    span text is sampled identically in every document). The shuffle carries
+    (doc_id, pos, h1, h2) longs only. The DuckDB oracle replays the ENTIRE
+    sampled pipeline — the same codepoint x base^k HUGEINT hash arithmetic,
+    the same sampling rule, the same two-hash grouping, the same islands —
+    so the approximation itself is value-checked, not just the plumbing;
+    pytest additionally pins sample_mod=1 equality with the literal-span
+    exact form."""
+    from .operators.dedup import dup_span_stats_hashed
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return dup_span_stats_hashed(
+        docs, window=DUPSPAN_W, sample_mod=DUPSPAN_S
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dup_chars").cast("long").alias("dup_chars"),
+        "dup_ratio",
+    )
+
+
+def _oracle_text_dup_spans_hashed():
+    from .operators.dedup import SPANHASH_BASE1, SPANHASH_BASE2, span_hash_weights
+
+    w, s = DUPSPAN_W, DUPSPAN_S
+    m64, m63 = 1 << 64, 1 << 63
+    t1 = " + ".join(
+        f"unicode(substr(tt, i + {k}, 1)) * CAST('{wk}' AS HUGEINT)"
+        for k, wk in enumerate(span_hash_weights(w, SPANHASH_BASE1))
+    )
+    t2 = " + ".join(
+        f"unicode(substr(tt, i + {k}, 1)) * CAST('{wk}' AS HUGEINT)"
+        for k, wk in enumerate(span_hash_weights(w, SPANHASH_BASE2))
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text AS tt FROM documents WHERE length(text) >= {w}),
+pos AS (SELECT doc_id, tt, unnest(range(1, length(tt) - {w} + 2)) AS i FROM t),
+h AS (SELECT doc_id, i,
+             CAST((({t1}) % {m64}) % {m63} AS BIGINT) AS h1,
+             CAST((({t2}) % {m64}) % {m63} AS BIGINT) AS h2
+      FROM pos),
+samp AS (SELECT doc_id, i, h1, h2 FROM h WHERE h1 % {s} = 0),
+dsp AS (SELECT h1, h2 FROM (SELECT DISTINCT doc_id, h1, h2 FROM samp)
+        GROUP BY h1, h2 HAVING count(*) >= 2),
+occ AS (SELECT s2.doc_id, s2.i FROM samp s2 JOIN dsp USING (h1, h2)),
+isl AS (SELECT doc_id, i,
+               CASE WHEN max(i + {w}) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR i >= max(i + {w}) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS ni
+        FROM occ),
+gid AS (SELECT doc_id, i, sum(ni) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM isl),
+cov AS (SELECT doc_id, max(i) + {w} - min(i) AS c FROM gid GROUP BY doc_id, g),
+agg AS (SELECT doc_id, sum(c) AS dup_chars FROM cov GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+       round(CAST(coalesce(a.dup_chars, 0) AS DOUBLE)
+             / greatest(length(d.text), 1), 4) AS dup_ratio
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 def _oracle_text_dup_spans():
     w = DUPSPAN_W
     return f"""
@@ -2629,6 +2698,7 @@ WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) <= {IMG_PHASH_
 
 QUERIES = {
     # --- round-4 new / changed (least proven first) --------------------------
+    "text_dup_spans_hashed": (q_text_dup_spans_hashed, _oracle_text_dup_spans_hashed()),
     "text_bm25": (q_text_bm25, _oracle_text_bm25()),
     # --- round-3 tail entries that shipped without a driver row (VERDICT #1) -
     "minhash_pairs_banded": (q_minhash_pairs_banded, _oracle_minhash_pairs_banded()),

@@ -440,14 +440,15 @@ def dup_span_stats(
        current position clears it), then covered chars per island and per
        doc.
 
-    Scale notes: step 1 is data-parallel and emits length(text) rows per
-    doc — at 10^12-doc scale sample positions content-defined (keep i where
-    a rolling hash of the span is 0 mod s: shift-invariant, expected 1/s
-    density; the winnowing fingerprints in :func:`winnow_overlap_pairs` are
-    the shipped form of that) and group spans by a 64-bit hash instead of
-    the literal string so only 8-byte keys shuffle. Step 3's join key
-    distribution IS the duplicate structure: a boilerplate span shared by
-    millions of docs is one build-side row, so no skew amplification.
+    Scale notes: step 1 is data-parallel but emits length(text) rows per
+    doc keyed by LITERAL 32-char spans — correct and fine at small SF, the
+    wrong exchange at 10^12 docs. :func:`dup_span_stats_hashed` is the
+    shipped 100-TB form: content-defined position sampling (keep i where
+    the span's rolling hash is 0 mod s — shift-invariant, expected 1/s
+    density) plus span grouping by two independent 64-bit hashes, so only
+    (id, pos, h1, h2) longs ever shuffle. With ``sample_mod=1`` it equals
+    this operator exactly (parity-tested); this exact form is kept as the
+    small-scale / ground-truth path.
     """
     w = int(window)
     from pyspark.sql import Window
@@ -468,6 +469,19 @@ def dup_span_stats(
         .filter(F.col("__mn") != F.col("__mx"))
         .select(id_col, "i")
     )
+
+    return _coverage_from_positions(occ, df, text_col, id_col, w)
+
+
+def _coverage_from_positions(
+    occ: DataFrame, df: DataFrame, text_col: str, id_col: str, w: int
+) -> DataFrame:
+    """(id, i) cross-document span positions -> (id, dup_chars, dup_ratio):
+    per-doc interval union of [i, i+w) via gaps-and-islands window functions
+    (running max of span end; a new island starts where the current position
+    clears it), covered chars per island, summed per doc, left-joined back so
+    every input document gets a row (0 / 0.0 when nothing matched)."""
+    from pyspark.sql import Window
 
     by_doc = Window.partitionBy(id_col).orderBy("i")
     prev_end = F.max(F.col("i") + F.lit(w)).over(
@@ -501,6 +515,118 @@ def dup_span_stats(
             ).alias("dup_ratio"),
         )
     )
+
+
+SPANHASH_BASE1 = 257  # same base as the fingerprint/winnowing family
+SPANHASH_BASE2 = 263  # independent second hash: kills h1-collision false dups
+
+
+def span_hash_weights(window: int, base: int) -> list[int]:
+    """base^(window-1-k) mod 2^64 for k in 0..window-1 — exported so the SQL
+    oracle inlines the identical constants (HUGEINT replay)."""
+    return [pow(base, window - 1 - k, 1 << 64) for k in range(window)]
+
+
+def dup_span_stats_hashed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    sample_mod: int = 8,
+) -> DataFrame:
+    """The 100-TB-shaped form of :func:`dup_span_stats` (Lee et al. 2022 §4,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    documented scale mitigation of the literal-span operator, now shipped.
+
+    Differences from the exact form, both aimed at the one exchange that
+    dominates it at scale (literal 32-char span keys x length(text) rows):
+
+    - **span grouping by two independent 64->63-bit polynomial hashes**
+      (codepoints x base^k mod 2^64, bases 257 / 263 — same recipe the
+      fingerprint/winnowing family replays in SQL) instead of the literal
+      string: the shuffle carries only (id, pos, h1, h2) longs, ~32 bytes a
+      row instead of ~32 chars + key overhead. A cross-doc match requires
+      BOTH hashes to agree, so a single-hash collision cannot fabricate a
+      duplicate span (joint collision ~2^-126 per span pair).
+    - **content-defined position sampling**: only positions whose h1 is
+      0 mod ``sample_mod`` enter the shuffle at all. The rule is a function
+      of span CONTENT, so it is shift-invariant — the same span text is
+      sampled identically wherever it occurs in whatever document — and
+      duplicated regions longer than ~window + sample_mod chars still
+      surface (expected sampled-position spacing is sample_mod chars);
+      coverage extents are conservative by up to ~sample_mod-1 chars at
+      island edges. Expected exchange volume drops by another
+      1/sample_mod.
+
+    ``sample_mod=1`` disables sampling and reproduces :func:`dup_span_stats`
+    EXACTLY (hash grouping is collision-free in practice) — the parity test
+    pins that. The hashing runs in ONE Arrow pass per input split (numpy
+    sliding windows over utf-32 codepoints, sampled before emission), so
+    length(text) rows exist only inside the batch, never in the shuffle.
+
+    -> (doc_id, dup_chars, dup_ratio), one row per input document.
+    """
+    w = int(window)
+    s = int(sample_mod)
+    from pyspark.sql import Window
+
+    w1 = np.array(span_hash_weights(w, SPANHASH_BASE1), dtype=np.uint64)
+    w2 = np.array(span_hash_weights(w, SPANHASH_BASE2), dtype=np.uint64)
+    mask63 = np.uint64(0x7FFFFFFFFFFFFFFF)
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("i", T.LongType()),
+            T.StructField("h1", T.LongType()),
+            T.StructField("h2", T.LongType()),
+        ]
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            ids, pos, hs1, hs2 = [], [], [], []
+            for doc, t in zip(pdf[id_col], pdf[text_col]):
+                cp = np.frombuffer(
+                    (t or "").encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                if len(cp) < w:
+                    continue
+                win = np.lib.stride_tricks.sliding_window_view(cp, w)
+                h1 = (win * w1).sum(axis=1) & mask63
+                keep = np.nonzero(h1 % np.uint64(s) == 0)[0]
+                if len(keep) == 0:
+                    continue
+                h2 = (win[keep] * w2).sum(axis=1) & mask63
+                ids.append(np.full(len(keep), doc))
+                pos.append(keep + 1)  # 1-based, matching substring semantics
+                hs1.append(h1[keep])
+                hs2.append(h2)
+            if not ids:
+                yield pd.DataFrame(
+                    {id_col: [], "i": [], "h1": [], "h2": []}
+                ).astype({"i": "int64", "h1": "int64", "h2": "int64"})
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids),
+                    "i": np.concatenate(pos).astype(np.int64),
+                    "h1": np.concatenate(hs1).astype(np.int64),
+                    "h2": np.concatenate(hs2).astype(np.int64),
+                }
+            )
+
+    spans = _split_small_input(
+        df.filter(F.length(text_col) >= w).select(id_col, text_col)
+    ).mapInPandas(emit, out_schema)
+    by_h = Window.partitionBy("h1", "h2")
+    occ = (
+        spans.withColumn("__mn", F.min(id_col).over(by_h))
+        .withColumn("__mx", F.max(id_col).over(by_h))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select(id_col, "i")
+    )
+    return _coverage_from_positions(occ, df, text_col, id_col, w)
 
 
 def connected_components(

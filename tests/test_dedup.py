@@ -461,3 +461,63 @@ def test_star_contraction_ignores_non_node_pair_ids(spark):
     prop = {r["doc_id"]: r["cluster_id"]
             for r in connected_components(pairs, nodes).collect()}
     assert star == prop == {10: 10, 20: 20, 30: 30, 31: 30}
+
+
+def test_dup_span_stats_hashed_parity_with_exact(spark):
+    """sample_mod=1 must reproduce the literal-span exact operator EXACTLY
+    (hash grouping changes the key representation, not the grouping), on a
+    corpus with heavy collisions-by-construction (low alphabet) plus real
+    documents from the sf0.001 fixture."""
+    import numpy as np
+
+    from geomesa_spark.operators.dedup import dup_span_stats, dup_span_stats_hashed
+
+    rng = np.random.RandomState(11)
+    alphabet = np.array(list("abc "))
+    docs = [
+        (i, "".join(rng.choice(alphabet, int(rng.randint(0, 40)))))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for w in (4, 8):
+        exact = {
+            (r["doc_id"], r["dup_chars"], r["dup_ratio"])
+            for r in dup_span_stats(df, window=w).collect()
+        }
+        hashed = {
+            (r["doc_id"], r["dup_chars"], r["dup_ratio"])
+            for r in dup_span_stats_hashed(df, window=w, sample_mod=1).collect()
+        }
+        assert hashed == exact
+
+
+def test_dup_span_stats_hashed_sampled_conservative(spark):
+    """Sampled coverage is content-defined: it never exceeds the exact
+    coverage, detects long duplicated regions, and unique docs stay at 0."""
+    from geomesa_spark.operators.dedup import dup_span_stats, dup_span_stats_hashed
+
+    import numpy as np
+
+    # non-periodic shared region: every position is a distinct span, so the
+    # content-defined rule samples ~1/8 of ~270 positions (expected max gap
+    # well under the 32-char window). A periodic region (e.g. a sentence
+    # repeated 6x) has only ~period distinct spans and is legitimately
+    # sampled sparser — that regime is covered by the conservative bound.
+    rng = np.random.RandomState(3)
+    shared = "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz "), 300))
+    docs = [
+        (0, shared + "unique tail zero"),
+        (1, "prefix one " + shared),
+        (2, "completely different text with no duplicated spans in it at all"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    exact = {r["doc_id"]: r["dup_chars"] for r in dup_span_stats(df, window=32).collect()}
+    samp = {
+        r["doc_id"]: r["dup_chars"]
+        for r in dup_span_stats_hashed(df, window=32, sample_mod=8).collect()
+    }
+    assert samp[2] == 0
+    for d in (0, 1):
+        assert 0 < samp[d] <= exact[d]
+        # a ~264-char duplicated region sampled every ~8 chars: most of it
+        assert samp[d] >= int(0.7 * exact[d])
