@@ -1762,6 +1762,41 @@ WHERE lon BETWEEN {x0} AND {x1} AND lat BETWEEN {y0} AND {y1}
 """
 
 
+def q_geo_where_geom(spark, sf_dir):
+    """Facade path for WKB geometry COLUMNS (round-3 handled point columns
+    only): st_intersects(geom, <literal polygon>) over the event-boxes
+    fixture must route through geometry_join (the XZ path — bbox-cell
+    candidates + exact DE-9IM refine), with the residual conjunct left as a
+    native filter, and equal the plain-SQL box-overlap semantics."""
+    from .engine import Engine
+
+    geoms = _event_box_geoms(_points(spark, sf_dir)).select(
+        "event_id", "value", "geom"
+    )
+    x0, y0, x1, y1 = BOXES["b_na"]
+    pred = (
+        f"st_intersects(geom, st_makeBBOX({x0}, {y0}, {x1}, {y1})) "
+        f"AND value > 0.25"
+    )
+    out = Engine(spark).where_spatial(geoms, pred)
+    return out.agg(
+        F.count("*").alias("n_geoms"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _oracle_geo_where_geom():
+    x0, y0, x1, y1 = BOXES["b_na"]
+    h = GJ_HALF
+    return f"""
+WITH pts AS (SELECT event_id, value, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_geoms, round(sum(value), 4) AS sum_value
+FROM pts
+WHERE (lon + {h}) >= {x0} AND (lon - {h}) <= {x1}
+  AND (lat + {h}) >= {y0} AND (lat - {h}) <= {y1} AND value > 0.25
+"""
+
+
 GJT_WEEK = 604_800
 GJT_T0 = 1_704_067_200  # 2024-01-01 (events span Jan 1-30)
 GJT_WINDOWS = {
@@ -2698,6 +2733,7 @@ WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) <= {IMG_PHASH_
 
 QUERIES = {
     # --- round-4 new / changed (least proven first) --------------------------
+    "geo_where_geom": (q_geo_where_geom, _oracle_geo_where_geom()),
     "text_dup_spans_hashed": (q_text_dup_spans_hashed, _oracle_text_dup_spans_hashed()),
     "text_bm25": (q_text_bm25, _oracle_text_bm25()),
     # --- round-3 tail entries that shipped without a driver row (VERDICT #1) -

@@ -121,14 +121,25 @@ class Engine:
             st_covers    (<geom_lit>, st_makePoint(lon, lat))
             st_within    (st_makePoint(lon, lat), <geom_lit>)
             st_dwithin   (<point_lit>, st_makePoint(lon, lat), meters)
+            st_intersects(<geom_lit>, <wkb_geom_col>)   (either order)
+            st_contains  (<geom_lit>, <wkb_geom_col>)
+            st_covers    (<geom_lit>, <wkb_geom_col>)
+            st_within    (<wkb_geom_col>, <geom_lit>)
+            st_coveredby (<wkb_geom_col>, <geom_lit>)
 
-        The DE-9IM forms become cell-cover prefilter + native/Arrow refine
-        via :func:`operators.spatial_join.spatial_join` (boundary excluded
-        for contains/within, included for intersects/covers); ``st_dwithin``
+        The point-column DE-9IM forms become cell-cover prefilter +
+        native/Arrow refine via
+        :func:`operators.spatial_join.spatial_join` (boundary excluded for
+        contains/within, included for intersects/covers); ``st_dwithin``
         becomes :func:`operators.proximity.proximity_join` (buffered-cover
         prefilter + exact native haversine — meters on the sphere, the
-        reference's DWITHIN semantics). Unrecognized conjuncts are applied
-        unchanged as native ``filter`` expressions (register the UDFs via
+        reference's DWITHIN semantics). A bare identifier naming a BINARY
+        column is treated as a WKB geometry column and routes to
+        :func:`operators.geometry_join.geometry_join` (the XZ path:
+        bbox-cell candidates + exact DE-9IM refine), with contains/covers
+        flipped to the row-geometry orientation (contains(lit, col) ==
+        within(col, lit)). Unrecognized conjuncts are applied unchanged as
+        native ``filter`` expressions (register the UDFs via
         :meth:`register_sql` for those).
         """
         from .planner_rules import rewrite_spatial_predicate

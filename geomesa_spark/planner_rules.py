@@ -27,6 +27,21 @@ _IDENT = re.compile(r"^[A-Za-z_]\w*$")
 _COVER_PREDS_GEOM_FIRST = {"st_intersects": True, "st_contains": False, "st_covers": True}
 _COVER_PREDS_POINT_FIRST = {"st_intersects": True, "st_within": False}
 
+# WKB geometry COLUMN routes (the XZ path): st_pred(geom_lit, geom_col) /
+# st_pred(geom_col, geom_lit) -> geometry_join predicate, expressed in the
+# row-geom <predicate> polygon orientation geometry_join uses.
+# contains(lit, col) == within(col, lit); covers(lit, col) == coveredby(col, lit).
+_GEOM_PREDS_LIT_FIRST = {
+    "st_intersects": "intersects",
+    "st_contains": "within",
+    "st_covers": "coveredby",
+}
+_GEOM_PREDS_COL_FIRST = {
+    "st_intersects": "intersects",
+    "st_within": "within",
+    "st_coveredby": "coveredby",
+}
+
 
 def _parse_call(s: str):
     """'st_foo(a, b, ...)' -> (name_lower, [raw_args]) or None."""
@@ -87,6 +102,20 @@ def _as_point_cols(arg: str):
     return None
 
 
+def _as_geom_col(arg: str, df: DataFrame) -> str | None:
+    """Bare identifier naming a BINARY column of df -> that column name
+    (WKB geometry columns are opaque binary, the reference's attribute
+    convention — SparkUtils.scala:126-129), else None."""
+    from pyspark.sql.types import BinaryType
+
+    if not _IDENT.match(arg):
+        return None
+    for f in df.schema.fields:
+        if f.name == arg and isinstance(f.dataType, BinaryType):
+            return arg
+    return None
+
+
 def _point_coords(wkt: str):
     m = re.match(
         r"^\s*POINT\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)\s*$", wkt, re.I
@@ -118,6 +147,7 @@ def split_conjuncts(s: str) -> list[str]:
 def rewrite_spatial_predicate(df: DataFrame, predicate: str) -> DataFrame:
     """Apply ``predicate`` to ``df`` with spatial conjuncts rewritten to
     index-backed operators; see Engine.where_spatial for the contract."""
+    from .operators.geometry_join import geometry_join
     from .operators.proximity import proximity_join
     from .operators.spatial_join import spatial_join
 
@@ -142,6 +172,27 @@ def rewrite_spatial_predicate(df: DataFrame, predicate: str) -> DataFrame:
                     df = spatial_join(
                         df, {f"__q{i}": wkt}, lon=cols[0], lat=cols[1],
                         include_boundary=_COVER_PREDS_POINT_FIRST[name],
+                    ).drop("poly_id")
+                    rewritten = True
+            # WKB geometry column vs literal geometry -> the XZ join path
+            # (SQLRules.scala:36-141 translates non-point geometry
+            # predicates too; round-3 handled point columns only)
+            if not rewritten and name in _GEOM_PREDS_LIT_FIRST and len(args) == 2:
+                wkt = _as_geom_wkt(args[0])
+                gcol = _as_geom_col(args[1], df)
+                if wkt and gcol:
+                    df = geometry_join(
+                        df, {f"__q{i}": wkt}, geom_col=gcol,
+                        predicate=_GEOM_PREDS_LIT_FIRST[name],
+                    ).drop("poly_id")
+                    rewritten = True
+            if not rewritten and name in _GEOM_PREDS_COL_FIRST and len(args) == 2:
+                gcol = _as_geom_col(args[0], df)
+                wkt = _as_geom_wkt(args[1])
+                if wkt and gcol:
+                    df = geometry_join(
+                        df, {f"__q{i}": wkt}, geom_col=gcol,
+                        predicate=_GEOM_PREDS_COL_FIRST[name],
                     ).drop("poly_id")
                     rewritten = True
             if not rewritten and name == "st_dwithin" and len(args) == 3 and _NUM.match(args[2]):

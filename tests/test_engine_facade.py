@@ -172,3 +172,49 @@ def test_where_spatial_parser_edges(spark):
             "st_makePoint(lon, lat))"
     )
     assert out2.count() == 0  # no image exactly at (0,0)
+
+
+def test_where_spatial_geometry_column_routes(spark):
+    """WKB geometry-column predicates route to geometry_join (the XZ path):
+    st_intersects / st_contains / st_covers / st_within / st_coveredby over
+    a binary geom column vs a literal polygon, parity vs shapely-free
+    brute force on box overlap/containment, residual conjunct preserved."""
+    from geomesa_spark.core.geometry import box, to_wkb
+    from geomesa_spark.engine import Engine
+
+    eng = Engine(spark)
+    # 2x2-degree boxes centered on a grid; polygon covers x in [0..5]
+    rows = []
+    centers = [(x + 0.5, y + 0.5) for x in range(-4, 8, 2) for y in range(-4, 8, 2)]
+    for i, (cx, cy) in enumerate(centers):
+        rows.append((i, cx, cy, to_wkb(box(cx - 1, cy - 1, cx + 1, cy + 1))))
+    df = spark.createDataFrame(rows, ["gid", "cx", "cy", "geom"])
+    lit = "st_makeBBOX(0.05, 0.05, 5.05, 5.05)"
+
+    def brute(pred):
+        out = set()
+        for i, (cx, cy) in enumerate(centers):
+            x0, y0, x1, y1 = cx - 1, cy - 1, cx + 1, cy + 1
+            inter = x1 >= 0.05 and x0 <= 5.05 and y1 >= 0.05 and y0 <= 5.05
+            inside = x0 >= 0.05 and x1 <= 5.05 and y0 >= 0.05 and y1 <= 5.05
+            if (pred == "inter" and inter) or (pred == "inside" and inside):
+                out.add(i)
+        return out
+
+    for pred_str, want in [
+        (f"st_intersects(geom, {lit})", brute("inter")),
+        (f"st_intersects({lit}, geom)", brute("inter")),
+        (f"st_contains({lit}, geom)", brute("inside")),
+        (f"st_covers({lit}, geom)", brute("inside")),
+        (f"st_within(geom, {lit})", brute("inside")),
+        (f"st_coveredby(geom, {lit})", brute("inside")),
+    ]:
+        got = {r.gid for r in eng.where_spatial(df, pred_str).collect()}
+        assert got == want, f"{pred_str}: {sorted(got)} != {sorted(want)}"
+
+    # residual conjunct composes, schema preserved (poly_id dropped)
+    out = eng.where_spatial(df, f"st_intersects(geom, {lit}) AND cx > 2")
+    assert set(out.columns) == {"gid", "cx", "cy", "geom"}
+    assert {r.gid for r in out.collect()} == {
+        i for i in brute("inter") if centers[i][0] > 2
+    }
