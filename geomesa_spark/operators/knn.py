@@ -155,15 +155,16 @@ def knn_join_table(
             )
         )
         # the round's expensive explode+join DAG fans out three ways (per_q
-        # agg, resolved-result semi join, next round's anti join) and is also
-        # part of the returned lineage — persist it so the remaining.count()
-        # action below materializes it ONCE and the final action reuses it.
-        # Lifetime note: each round's cache stays referenced by the returned
-        # result's lineage, so it cannot be unpersisted here; blocks are
-        # MEMORY_AND_DISK and LRU-evictable, bounded by max_rounds per call.
+        # agg, resolved-result semi join, next round's anti join) — persist
+        # it so it materializes ONCE within the round. The round's OUTPUTS
+        # (resolved top-k, surviving queries) are localCheckpoint-ed below,
+        # which truncates their lineage off this cache, so it is unpersisted
+        # at the END of the round: repeated calls in one session leave no
+        # net persisted blocks behind (the connected_components pattern).
         topk = topk.persist()
         if covers_world:
-            got = topk.drop("__ql")
+            got = topk.drop("__ql").localCheckpoint(eager=True)
+            topk.unpersist()
             results = got if results is None else results.unionByName(got)
             unresolved = unresolved.limit(0)
             break
@@ -199,16 +200,24 @@ def knn_join_table(
             "__ok", (F.col("__n") >= k) & (F.col("__dk") <= guarantee)
         )
         ok_ids = per_q.filter(F.col("__ok")).select(query_id)
-        got = topk.join(F.broadcast(ok_ids), query_id, "left_semi").drop("__ql")
+        # localCheckpoint (eager): materializes the round output AND cuts
+        # its lineage, so the round's topk cache and the superseded query
+        # frame become unreferenced — the ContextCleaner frees them once
+        # GC'd instead of every round's DAG staying live in the result
+        got = (
+            topk.join(F.broadcast(ok_ids), query_id, "left_semi")
+            .drop("__ql")
+            .localCheckpoint(eager=True)
+        )
         results = got if results is None else results.unionByName(got)
-        remaining = unresolved.join(F.broadcast(ok_ids), query_id, "left_anti")
-        # materialize the shrinking query set; driver sees only the count
-        remaining = remaining.persist()
+        # the shrinking query set, lineage-free; driver sees only the count
+        remaining = unresolved.join(
+            F.broadcast(ok_ids), query_id, "left_anti"
+        ).localCheckpoint(eager=True)
         n_left = remaining.count()
-        unresolved.unpersist() if hasattr(unresolved, "unpersist") else None
+        topk.unpersist()
         unresolved = remaining
         if n_left == 0:
-            remaining.unpersist()  # empty; nothing downstream reads it
             break
         r *= 2
     else:
