@@ -13,6 +13,10 @@ is real:
   frames are SEEKABLE — frame k decodes by offset without touching the rest
   of the payload, which is the access pattern a frame-sampling pipeline
   needs at scale.
+- ``mjpeg``: REAL compressed video — per-frame baseline JPEG from the
+  from-scratch ITU T.81 codec (``functions/jpeg.py``) behind a frame-offset
+  index, so offset-seek frame sampling holds for an actually-compressed
+  format (PSNR >= 40 dB per frame at the default quality).
 - deterministic synthesizers (audio tone mixes, moving-gradient video) that
   are pure functions of the row id, mirroring sources/images.py.
 """
@@ -83,8 +87,10 @@ def vraw_meta(buf: bytes) -> tuple[int, int, int]:
 
 def decode_video_frame(buf: bytes, k: int, fmt: str = "vraw") -> np.ndarray:
     """Decode ONLY frame ``k`` -> (h, w, 3) uint8. For 'vraw' this is a pure
-    offset slice (no other frame is touched — the property frame-sampling
-    relies on at scale); compressed video is STUBBED."""
+    offset slice; for 'mjpeg' the header index locates frame k's JPEG stream
+    and ONLY that stream is entropy-decoded (no other frame's bytes are
+    parsed — the property frame-sampling relies on at scale, now holding
+    for a real compressed format). Inter-frame codecs are STUBBED."""
     if fmt == "vraw":
         n, w, h = vraw_meta(buf)
         if not 0 <= k < n:
@@ -94,12 +100,60 @@ def decode_video_frame(buf: bytes, k: int, fmt: str = "vraw") -> np.ndarray:
         return np.frombuffer(buf, dtype=np.uint8, count=fsz, offset=off).reshape(
             h, w, 3
         )
+    if fmt == "mjpeg":
+        from .jpeg import decode_jpeg
+
+        n, _w, _h = mjpeg_meta(buf)
+        if not 0 <= k < n:
+            raise IndexError(f"frame {k} of {n}")
+        base = 10 + 8 * (n + 1)
+        o0, o1 = struct.unpack_from("<QQ", buf, 10 + 8 * k)
+        return decode_jpeg(bytes(buf[base + o0 : base + o1]))
     if fmt in ("h264", "vp9", "av1"):
         raise NotImplementedError(
-            f"{fmt} decode requires a video codec library, absent from this "
-            f"environment; use fmt='vraw' (real seekable raw container)"
+            f"{fmt} inter-frame decode requires a video codec library, absent "
+            f"from this environment; fmt='mjpeg' is the REAL in-repo "
+            f"compressed alternative (per-frame ITU T.81 JPEG + seekable "
+            f"frame index, functions/jpeg.py), fmt='vraw' the raw one"
         )
     raise ValueError(fmt)
+
+
+_MJPG_MAGIC = b"MJP1"
+
+
+def encode_mjpeg(frames: np.ndarray, quality: int = 92) -> bytes:
+    """(n, h, w, 3) uint8 -> REAL compressed, seekable video container:
+    per-frame baseline JPEG (the from-scratch ITU T.81 codec in
+    ``functions/jpeg.py``) behind a frame-offset index in the header —
+    the Motion-JPEG layout. Frame k decodes by offset without parsing any
+    other frame's bitstream, so the frame-sampling access pattern of
+    :func:`operators.media.video_frame_sample` holds for a genuinely
+    compressed format, not just raw frames.
+
+    Layout: magic(4) | n,w,h (<HHH) | (n+1) u64 offsets relative to the end
+    of the index | concatenated JPEG streams. offsets[n] is the total data
+    length, so frame k's stream is data[off[k]:off[k+1]].
+    """
+    from .jpeg import encode_jpeg
+
+    assert frames.dtype == np.uint8 and frames.ndim == 4 and frames.shape[3] == 3
+    n, h, w = frames.shape[:3]
+    streams = [encode_jpeg(frames[k], quality=quality) for k in range(n)]
+    offs = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum([len(s) for s in streams], out=offs[1:])
+    return (
+        _MJPG_MAGIC
+        + struct.pack("<HHH", n, w, h)
+        + offs.astype("<u8").tobytes()
+        + b"".join(streams)
+    )
+
+
+def mjpeg_meta(buf: bytes) -> tuple[int, int, int]:
+    """(n_frames, w, h) from the header alone."""
+    assert bytes(buf[:4]) == _MJPG_MAGIC, "not mjpeg"
+    return struct.unpack_from("<HHH", buf, 4)
 
 
 def synth_video(i: int, n_frames: int = 16, w: int = 24, h: int = 16) -> np.ndarray:

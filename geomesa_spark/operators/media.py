@@ -43,9 +43,18 @@ def audio_df(spark, n: int, partitions: int | None = None) -> DataFrame:
     return rng.mapInPandas(gen, schema=AUDIO_SCHEMA)
 
 
-def video_df(spark, n: int, n_frames: int = 16, partitions: int | None = None) -> DataFrame:
-    """Deterministic video table: (video_id, bytes vraw, fmt, n_frames, w, h)."""
+def video_df(
+    spark,
+    n: int,
+    n_frames: int = 16,
+    partitions: int | None = None,
+    fmt: str = "vraw",
+) -> DataFrame:
+    """Deterministic video table: (video_id, bytes, fmt, n_frames, w, h).
+    fmt='vraw' (raw seekable) or 'mjpeg' (real per-frame JPEG compression
+    behind a frame-offset index — functions/av.encode_mjpeg)."""
     rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    enc = {"vraw": av.encode_vraw, "mjpeg": av.encode_mjpeg}[fmt]
 
     def gen(batches):
         for pdf in batches:
@@ -53,7 +62,7 @@ def video_df(spark, n: int, n_frames: int = 16, partitions: int | None = None) -
             for i in pdf["id"]:
                 frames = av.synth_video(int(i), n_frames=n_frames)
                 rows.append(
-                    (f"vid{int(i):08d}", av.encode_vraw(frames), "vraw",
+                    (f"vid{int(i):08d}", enc(frames), fmt,
                      frames.shape[0], frames.shape[2], frames.shape[1])
                 )
             out = pd.DataFrame(

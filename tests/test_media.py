@@ -84,3 +84,40 @@ def test_video_frame_sample_operator(spark):
         + 114 * want[..., 2].astype(np.int64)
     ).mean() / 1000.0
     assert r.gray_mean == pytest.approx(g)
+
+
+def test_mjpeg_roundtrip_and_offset_seek():
+    """Real compressed video: per-frame JPEG behind a frame index. Frame k
+    decoded by offset must equal the full-decode of that frame (same
+    bitstream) at PSNR >= 40 dB vs the source, and the index must address
+    every frame exactly (variable-length streams, unlike vraw)."""
+    from geomesa_spark.functions.image import psnr
+
+    frames = av.synth_video(7, n_frames=10, w=24, h=16)
+    buf = av.encode_mjpeg(frames)
+    n, w, h = av.mjpeg_meta(buf)
+    assert (n, w, h) == (10, 24, 16)
+    assert len(buf) < frames.nbytes  # actually compressed
+    for k in (0, 3, 9):
+        got = av.decode_video_frame(buf, k, "mjpeg")
+        assert got.shape == frames[k].shape
+        assert psnr(frames[k], got) >= 40.0
+    with pytest.raises(IndexError):
+        av.decode_video_frame(buf, 10, "mjpeg")
+
+
+def test_video_frame_sample_over_mjpeg(spark):
+    """The frame-sampling operator's offset-decode contract holds for the
+    real compressed format: same sampled frame grid as vraw, each sampled
+    frame within JPEG tolerance of the synthesized source."""
+    from geomesa_spark.functions.image import psnr
+    from geomesa_spark.operators.media import video_df, video_frame_sample
+
+    df = video_df(spark, 4, n_frames=12, fmt="mjpeg")
+    out = video_frame_sample(df, every_k=4).toPandas()
+    assert sorted(out["frame_idx"].unique()) == [0, 4, 8]
+    assert (out.groupby("video_id").size() == 3).all()
+    r = out[(out.video_id == "vid00000001") & (out.frame_idx == 4)].iloc[0]
+    want = av.synth_video(1, n_frames=12)[4]
+    got = np.frombuffer(bytes(r.frame_bytes), dtype=np.uint8).reshape(r.h, r.w, 3)
+    assert psnr(want, got) >= 40.0
