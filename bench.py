@@ -37,11 +37,17 @@ BENCH_QUERIES = [
     "tpch_q1",
     "join_revenue_by_nation",
     "dedup_exact",
+    # unchanged-config r2-equivalent witness (certified r=1 banding) timed
+    # beside the production-banded entry, so cross-round minhash timings
+    # have a same-config comparison point (VERDICT r3 next-round #8)
+    "minhash_pairs",
     "minhash_pairs_banded",
     "img_phash_pairs",
     "text_winnow_pairs",
     "text_dup_spans",
+    "text_dup_spans_hashed",
     "text_bm25",
+    "geo_where_geom",
     "events_sessionize",
     "events_asof",
     "text_quality",
@@ -187,6 +193,175 @@ def run_skew(spark, n_images: int = SKEW_N) -> dict:
     return out
 
 
+GEOM_SKEW_LEFT = 400_000
+GEOM_SKEW_RIGHT = 100_000
+GEOM_SKEW_HOT_RIGHT = 20
+GEOM_SKEW_REPS = 3
+
+
+def _geom_table(spark, n: int, hot_n: int, tag: str, half: float = 0.02):
+    """Distributed deterministic box-geometry table (id, WKB geom): the
+    first ``hot_n`` ids all sit at ONE coordinate (one res-8 cell — the
+    hot-cell pathology), the rest uniform over the world."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from geomesa_spark.core.geometry import box, to_wkb
+        from geomesa_spark.sources.images import _u01
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            lon = _u01(ids, 91) * 340.0 - 170.0
+            lat = _u01(ids, 92) * 160.0 - 80.0
+            hot = ids < hot_n
+            lon[hot], lat[hot] = 2.35, 48.85
+            geoms = [
+                to_wkb(box(x - half, y - half, x + half, y + half))
+                for x, y in zip(lon, lat)
+            ]
+            yield pd.DataFrame(
+                {f"{tag}_id": [f"{tag}{int(i)}" for i in ids], "geom": geoms}
+            )
+
+    return spark.range(0, n, 1, CPUS).mapInPandas(
+        gen, schema=f"{tag}_id string, geom binary"
+    )
+
+
+def run_geom_skew(spark) -> dict:
+    """Two-relation geometry-join skew evidence (VERDICT r3 next-round #6):
+    one hot res-8 cell holds 50% of the left boxes and 20 right boxes, so
+    the cell-key equi-join emits ~4M candidate pairs from ONE shuffle
+    partition. The timed job is the operator's CANDIDATE stage
+    (geometry_join_tables_candidates — the grid-partitioned join where hot
+    cells concentrate); the stages downstream of it (pair dedup exchange,
+    refetch, round-robin re-spread, refine) are pair-parallel by
+    construction, so an end-to-end timing dilutes join-stage skew below
+    noise (measured: 48.7 s no-split vs 49.0 s split at this workload —
+    that graceful degradation is itself the design, but it cannot WITNESS
+    the split). Three arms over the identical workload, 1 warmup + median
+    of 3 interleaved reps each (run_skew's protocol):
+
+    - broadcast: default confs — the slim cell-key side fits the broadcast
+      threshold, every task joins its local rows, skew never concentrates.
+    - smj_skew_split: broadcast disabled; AQE skew-join ON with thresholds
+      sized to this workload (the hot partition is ~15x the median but only
+      ~7 MB, below the 256 MB default) — the split must engage (the warmup
+      records the plan's skew markers as proof).
+    - smj_no_split: broadcast disabled, AQE skew-join OFF — the control
+      that pays the hot partition's 4M-row emit + partial dedup serially.
+
+    One full geometry_join_tables run per arm is reported alongside
+    (full_join_sec) so the end-to-end materiality claim above stays
+    measured, not asserted.
+    """
+    import statistics
+    import time as _t
+
+    from geomesa_spark.operators.geometry_join import (
+        geometry_join_tables,
+        geometry_join_tables_candidates,
+    )
+
+    left = _geom_table(spark, GEOM_SKEW_LEFT, GEOM_SKEW_LEFT // 2, "l").persist()
+    right = _geom_table(spark, GEOM_SKEW_RIGHT, GEOM_SKEW_HOT_RIGHT, "r").persist()
+    left.count(), right.count()
+
+    arms = {
+        "broadcast": {},
+        "smj_skew_split": {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            # the hot partition is ~15x the median but compresses to well
+            # under a MB in the shuffle (ids + cell longs), so the 256 MB
+            # default - and even 1m - never flags it; 512k + factor 2 does
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "512k",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512k",
+        },
+        "smj_no_split": {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.enabled": "false",
+        },
+    }
+
+    def with_confs(confs, fn):
+        saved = {}
+        for k, v in confs.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+        try:
+            return fn()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def _run_own_qe(df, record_plan=False):
+        """Execute the Dataset's OWN QueryExecution JVM-side (df.count()
+        would run a separate aggregate plan, leaving this one un-executed
+        and its adaptive plan non-final); no rows cross to Python."""
+        jqe = df._jdf.queryExecution()
+        n = jqe.toRdd().count()
+        marker = ""
+        if record_plan:
+            plan = jqe.executedPlan().toString()
+            marker = "; ".join(
+                line.strip()[:120]
+                for line in plan.splitlines()
+                if "skew" in line.lower()
+            )[:300]
+        return n, marker
+
+    def cand_once(record_plan=False):
+        return _run_own_qe(
+            geometry_join_tables_candidates(left, right, "l_id", "r_id"),
+            record_plan,
+        )
+
+    out = {}
+    for name, confs in arms.items():
+        n, marker = with_confs(confs, lambda: cand_once(record_plan=True))
+        out[name] = {"samples": [], "rows": n, "skew_plan_marker": marker}
+    for _ in range(GEOM_SKEW_REPS):
+        for name, confs in arms.items():
+            t0 = _t.time()
+            with_confs(confs, cand_once)
+            out[name]["samples"].append(round(_t.time() - t0, 3))
+    for name in arms:
+        out[name]["seconds"] = statistics.median(out[name]["samples"])
+    # end-to-end context for the two SMJ arms only (the comparison that
+    # matters; broadcast's end-to-end is covered by the r3 ledger): one
+    # full join each, witnessing that downstream pair-parallel stages
+    # dilute join-stage skew out of the total
+    for name in ("smj_skew_split", "smj_no_split"):
+        t0 = _t.time()
+        full_rows, _ = with_confs(
+            arms[name],
+            lambda: _run_own_qe(geometry_join_tables(left, right, "l_id", "r_id")),
+        )
+        out[name]["full_join_sec"] = round(_t.time() - t0, 3)
+        out[name]["full_join_rows"] = full_rows
+    left.unpersist(), right.unpersist()
+    assert (
+        out["broadcast"]["rows"]
+        == out["smj_skew_split"]["rows"]
+        == out["smj_no_split"]["rows"]
+    )
+    assert (
+        out["smj_skew_split"]["full_join_rows"]
+        == out["smj_no_split"]["full_join_rows"]
+    )
+    return out
+
+
 CONTROL_PROCS = 8
 CONTROL_IMAGES = 50_000
 
@@ -259,6 +434,11 @@ def run_bench() -> dict:
     timings["img_skew_salted_shuffle"] = skew["salted_shuffle"]["seconds"]
     timings["img_skew_unsalted_shuffle"] = skew["unsalted_shuffle"]["seconds"]
 
+    geom_skew = run_geom_skew(spark)
+    timings["geom_skew_broadcast"] = geom_skew["broadcast"]["seconds"]
+    timings["geom_skew_smj_skew_split"] = geom_skew["smj_skew_split"]["seconds"]
+    timings["geom_skew_smj_no_split"] = geom_skew["smj_no_split"]["seconds"]
+
     control = run_control(spark)
 
     total = round(sum(timings.values()), 3)
@@ -272,6 +452,7 @@ def run_bench() -> dict:
         "flagship_rows_in": flag["rows_in"],
         "cpus": CPUS,
         "skew": skew,
+        "geom_skew": geom_skew,
         "control_sec": control,
     }
     scaling = _latest_scaling()

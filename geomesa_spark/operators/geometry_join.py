@@ -349,35 +349,37 @@ def geometry_join_tables(
     util.narrow_is_small) — persist/write such inputs first, as a
     production pipeline would.
     """
-    if left_id == right_id:
-        raise ValueError(
-            f"left_id and right_id must differ (both {left_id!r}); alias "
-            "one side before joining"
-        )
-    l_small = narrow_is_small(left)
-    r_small = narrow_is_small(right)
-    lk = _bbox_cell_keys(
-        spread_small(left.select(left_id, left_geom), known_small=l_small),
-        left_geom, left_id, res_j,
-    )
-    rk = _bbox_cell_keys(
-        spread_small(right.select(right_id, right_geom), known_small=r_small),
-        right_geom, right_id, res_j,
-    )
-    cand = (
-        lk.join(rk, "ccell")
-        .select(left_id, right_id)
-        .dropDuplicates([left_id, right_id])
+    cand = geometry_join_tables_candidates(
+        left, right, left_id, right_id, left_geom, right_geom, res_j
     )
     pairs = (
         cand.join(left.select(left_id, F.col(left_geom).alias("__lg")), left_id)
         .join(right.select(right_id, F.col(right_geom).alias("__rg")), right_id)
     )
-    # pairs can only be byte-small enough to be AQE-coalesced when BOTH
-    # inputs are small — a huge fact table joined to a tiny dimension must
-    # keep the candidate frame's natural partitioning rather than pay an
-    # extra full shuffle of WKB-carrying pairs
-    pairs = spread_small(pairs, known_small=l_small and r_small)
+    # Explicit repartition (fixed N — AQE does not re-coalesce a
+    # user-numbered repartition) before the CPU-bound DE-9IM refine.
+    # Round-3 shipped this gated on "both inputs small", which misses the
+    # common case: well-partitioned INPUTS whose candidate-pair exchanges
+    # are byte-small, so AQE (sizing in BYTES, refine costing per ROW)
+    # coalesced the refine to a handful of tasks — measured 44 s of a 58 s
+    # two-table join at 900k pairs on 7 tasks vs ~2 s spread (SCALE.md
+    # "Python stages vs AQE partition coalescing", third occurrence of the
+    # same failure mode). N = max(defaultParallelism, shuffle.partitions)
+    # keeps every core busy locally and matches the configured width on a
+    # cluster; the exchange it adds carries each surviving pair + its two
+    # geometries exactly once — the dedup shuffle before it still moves
+    # ids only. ROUND-ROBIN, not keyed: a (left_id, right_id) hash
+    # partitioning is identical to the dedup exchange's, so EnsureRequirements
+    # elides the keyed form as redundant (verified in the executed plan) and
+    # the refine lands back on the coalesced partitions; round-robin is never
+    # elided and row-balances the per-row-cost stage exactly, immune even to
+    # hot ids.
+    spark = pairs.sparkSession
+    n_spread = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    pairs = pairs.repartition(n_spread)
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in pairs.schema
@@ -394,3 +396,42 @@ def geometry_join_tables(
             yield pdf.loc[keep, [c for c in pdf.columns if c in (left_id, right_id)]]
 
     return pairs.mapInPandas(refine, schema=schema)
+
+
+def geometry_join_tables_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+    res_j: int = DEFAULT_JOIN_RES,
+) -> DataFrame:
+    """-> deduped (left_id, right_id) cell-cover candidate pairs — the
+    grid-partitioned JOIN stage of :func:`geometry_join_tables`, exposed on
+    its own because (a) it is where hot cells concentrate (the bench's
+    run_geom_skew arms time this stage under AQE skew-split on/off — the
+    downstream refetch+refine is pair-parallel by construction and dilutes
+    any join-stage skew out of an end-to-end timing), and (b) callers with
+    their own refinement (e.g. an attribute filter that subsumes the exact
+    predicate) can consume candidates directly. Loose by design: every
+    output pair's bboxes share a res_j cell; the exact DE-9IM predicate has
+    NOT run."""
+    if left_id == right_id:
+        raise ValueError(
+            f"left_id and right_id must differ (both {left_id!r}); alias "
+            "one side before joining"
+        )
+    lk = _bbox_cell_keys(
+        spread_small(left.select(left_id, left_geom), known_small=narrow_is_small(left)),
+        left_geom, left_id, res_j,
+    )
+    rk = _bbox_cell_keys(
+        spread_small(right.select(right_id, right_geom), known_small=narrow_is_small(right)),
+        right_geom, right_id, res_j,
+    )
+    return (
+        lk.join(rk, "ccell")
+        .select(left_id, right_id)
+        .dropDuplicates([left_id, right_id])
+    )
