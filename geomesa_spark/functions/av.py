@@ -9,6 +9,13 @@ raise NotImplementedError), while everything the engine actually exercises
 is real:
 
 - ``pcm16``: raw 16-bit little-endian mono PCM — real encode/decode.
+- ``adpcm``: REAL compressed audio — from-scratch IMA ADPCM (3.95:1 over
+  pcm16; step/index tables from the public IMA 1992 recommended practice,
+  identical to IETF RFC 3551's DVI4 payload) in fixed-size INDEPENDENT
+  blocks, so (a) any sample range decodes by block offset without touching
+  the rest of the payload and (b) encode/decode vectorize with numpy ACROSS
+  blocks — the inner sequential recurrence runs once per within-block
+  position over all blocks at once, not per sample.
 - ``vraw``:  a tiny raw-video container (header + w*h*3 RGB frames) whose
   frames are SEEKABLE — frame k decodes by offset without touching the rest
   of the payload, which is the access pattern a frame-sampling pipeline
@@ -55,17 +62,169 @@ def encode_pcm16(samples: np.ndarray) -> bytes:
 
 
 def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
-    """bytes -> int16 sample array. 'pcm16' is real; compressed codecs are
-    STUBBED (no libmp3lame/ffmpeg in this container) — the Spark-side
-    plumbing is identical either way, so a real deployment swaps only this
-    dispatch."""
+    """bytes -> int16 sample array. 'pcm16' (raw) and 'adpcm' (REAL
+    compressed, in-repo IMA codec) are real; entropy-coded psychoacoustic
+    codecs are STUBBED (no libmp3lame/ffmpeg in this container) — the
+    Spark-side plumbing is identical either way, so a real deployment swaps
+    only this dispatch."""
     if fmt == "pcm16":
         return np.frombuffer(buf, dtype="<i2")
+    if fmt == "adpcm":
+        return decode_adpcm(buf)
     if fmt in ("mp3", "aac", "opus"):
         raise NotImplementedError(
             f"{fmt} decode requires an audio codec library, absent from this "
-            f"environment; use fmt='pcm16' (real raw codec) in tests/benches"
+            f"environment; fmt='adpcm' is the REAL in-repo compressed "
+            f"alternative (IMA ADPCM, 3.95:1, block-seekable), fmt='pcm16' "
+            f"the raw one"
         )
+    raise ValueError(fmt)
+
+
+# IMA ADPCM step-size and index-adaptation tables — public-spec constants
+# (IMA "Recommended Practices for Enhancing Digital Audio Compatibility in
+# Multimedia Systems" rev 3.00, 1992; reproduced in IETF RFC 3551 §4.5.1).
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+_ADPCM_MAGIC = b"ADP1"
+ADPCM_BLOCK = 505  # odd: 1 header sample + 252 packed nibble bytes
+
+
+def _ima_reconstruct(pred, index, code):
+    """Shared encoder/decoder state update (vectorized over blocks):
+    (predictor, index, 4-bit code) -> (new predictor, new index)."""
+    step = _IMA_STEPS[index]
+    diffq = (
+        (step >> 3)
+        + np.where(code & 4, step, 0)
+        + np.where(code & 2, step >> 1, 0)
+        + np.where(code & 1, step >> 2, 0)
+    )
+    pred = np.clip(
+        np.where(code & 8, pred - diffq, pred + diffq), -32768, 32767
+    )
+    index = np.clip(index + _IMA_INDEX[code & 7], 0, 88)
+    return pred, index
+
+
+def encode_adpcm(samples: np.ndarray, block_samples: int = ADPCM_BLOCK) -> bytes:
+    """int16 mono -> IMA ADPCM in INDEPENDENT fixed blocks.
+
+    Container: magic(4) | n_samples u32 | block_samples u16 | per block a
+    4-byte header (first sample i16, initial step index u8, pad) + packed
+    4-bit codes for the remaining block_samples-1 samples (low nibble
+    first). Each block's initial state lives in its own header — no state
+    crosses blocks — so blocks decode independently (seek + parallelism)
+    and the whole encode runs vectorized across blocks: the only Python
+    loop is over the block_samples within-block positions.
+    """
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    assert block_samples % 2 == 1 and 3 <= block_samples <= 65535
+    n = len(samples)
+    nb = max(1, -(-n // block_samples))
+    x = np.empty(nb * block_samples, dtype=np.int32)
+    x[:n] = samples
+    x[n:] = samples[-1] if n else 0
+    x = x.reshape(nb, block_samples)
+
+    pred = x[:, 0].copy()
+    # initial step index per block: nearest step to the first delta
+    # (adaptation then takes over; stored in the header so decode matches)
+    d0 = np.abs(x[:, 1] - x[:, 0]) if block_samples > 1 else np.zeros(nb, np.int32)
+    index = np.clip(np.searchsorted(_IMA_STEPS, d0), 0, 88).astype(np.int32)
+
+    header = np.zeros((nb, 4), dtype=np.uint8)
+    header[:, 0:2] = (
+        pred.astype("<i2").view(np.uint8).reshape(nb, 2)
+    )
+    header[:, 2] = index.astype(np.uint8)
+
+    codes = np.zeros((nb, block_samples - 1), dtype=np.uint8)
+    for t in range(1, block_samples):
+        step = _IMA_STEPS[index]
+        diff = x[:, t] - pred
+        code = np.where(diff < 0, 8, 0).astype(np.int32)
+        mag = np.abs(diff)
+        temp = step.copy()
+        for bit in (4, 2, 1):
+            ge = mag >= temp
+            code |= np.where(ge, bit, 0)
+            mag -= np.where(ge, temp, 0)
+            temp >>= 1
+        pred, index = _ima_reconstruct(pred, index, code)
+        codes[:, t - 1] = code
+    packed = codes[:, 0::2] | (codes[:, 1::2] << 4)
+    blocks = np.concatenate([header, packed], axis=1)
+    return (
+        _ADPCM_MAGIC
+        + struct.pack("<IH", n, block_samples)
+        + blocks.tobytes()
+    )
+
+
+def adpcm_meta(buf: bytes) -> tuple[int, int]:
+    """(n_samples, block_samples) from the header alone."""
+    assert bytes(buf[:4]) == _ADPCM_MAGIC, "not adpcm"
+    return struct.unpack_from("<IH", buf, 4)
+
+
+def _decode_adpcm_blocks(buf: bytes, b0: int, b1: int, block_samples: int):
+    """Decode blocks [b0, b1) only — reads exactly those blocks' bytes."""
+    bsz = 4 + (block_samples - 1) // 2
+    nb = b1 - b0
+    raw = np.frombuffer(
+        buf, dtype=np.uint8, count=nb * bsz, offset=10 + b0 * bsz
+    ).reshape(nb, bsz)
+    pred = raw[:, 0:2].reshape(-1).view("<i2").astype(np.int32)
+    index = np.clip(raw[:, 2].astype(np.int32), 0, 88)
+    packed = raw[:, 4:]
+    codes = np.empty((nb, block_samples - 1), dtype=np.int32)
+    codes[:, 0::2] = packed & 0x0F
+    codes[:, 1::2] = packed >> 4
+    out = np.empty((nb, block_samples), dtype=np.int32)
+    out[:, 0] = pred
+    for t in range(1, block_samples):
+        pred, index = _ima_reconstruct(pred, index, codes[:, t - 1])
+        out[:, t] = pred
+    return out
+
+
+def decode_adpcm(buf: bytes) -> np.ndarray:
+    """Full decode -> int16 samples (vectorized across blocks)."""
+    n, bs = adpcm_meta(buf)
+    nb = max(1, -(-n // bs))
+    return _decode_adpcm_blocks(buf, 0, nb, bs).reshape(-1)[:n].astype(np.int16)
+
+
+def decode_audio_range(buf: bytes, s0: int, s1: int, fmt: str) -> np.ndarray:
+    """Decode ONLY samples [s0, s1) — the audio analog of
+    :func:`decode_video_frame`'s offset seek. For 'pcm16' a pure byte
+    slice; for 'adpcm' only the covering blocks are decoded (no other
+    block's bytes are read — the property that makes windowed audio
+    feature extraction affordable when the audio column dominates the
+    table bytes)."""
+    if not 0 <= s0 <= s1:
+        raise IndexError((s0, s1))
+    if fmt == "pcm16":
+        return np.frombuffer(buf, dtype="<i2", count=s1 - s0, offset=2 * s0)
+    if fmt == "adpcm":
+        n, bs = adpcm_meta(buf)
+        if s1 > n:
+            raise IndexError(f"range ({s0}, {s1}) of {n}")
+        if s0 == s1:
+            return np.empty(0, dtype=np.int16)
+        b0, b1 = s0 // bs, -(-s1 // bs)
+        dec = _decode_adpcm_blocks(buf, b0, b1, bs).reshape(-1)
+        return dec[s0 - b0 * bs : s1 - b0 * bs].astype(np.int16)
     raise ValueError(fmt)
 
 

@@ -20,9 +20,14 @@ AUDIO_SCHEMA = "audio_id string, bytes binary, fmt string, sr int, n_samples int
 VIDEO_SCHEMA = "video_id string, bytes binary, fmt string, n_frames int, w int, h int"
 
 
-def audio_df(spark, n: int, partitions: int | None = None) -> DataFrame:
-    """Deterministic audio table: (audio_id, bytes pcm16, fmt, sr, n_samples)."""
+def audio_df(
+    spark, n: int, partitions: int | None = None, fmt: str = "pcm16"
+) -> DataFrame:
+    """Deterministic audio table: (audio_id, bytes, fmt, sr, n_samples).
+    fmt='pcm16' (raw) or 'adpcm' (real IMA compression in independent
+    seekable blocks — functions/av.encode_adpcm)."""
     rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    enc = {"pcm16": av.encode_pcm16, "adpcm": av.encode_adpcm}[fmt]
 
     def gen(batches):
         for pdf in batches:
@@ -30,7 +35,7 @@ def audio_df(spark, n: int, partitions: int | None = None) -> DataFrame:
             for i in pdf["id"]:
                 x = av.synth_audio(int(i))
                 rows.append(
-                    (f"aud{int(i):08d}", av.encode_pcm16(x), "pcm16",
+                    (f"aud{int(i):08d}", enc(x), fmt,
                      av.AUDIO_SR, len(x))
                 )
             out = pd.DataFrame(
@@ -88,6 +93,48 @@ def audio_features(
             ids, fidx, rms_all, zcr_all = [], [], [], []
             for row in pdf.itertuples(index=False):
                 x = av.decode_audio(row.bytes, row.fmt)
+                rms, zcr = av.audio_frame_features(x, frame=frame, hop=hop)
+                ids.extend([row.audio_id] * len(rms))
+                fidx.append(np.arange(len(rms), dtype=np.int32))
+                rms_all.append(rms)
+                zcr_all.append(zcr)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "audio_id": ids,
+                    "frame_idx": np.concatenate(fidx),
+                    "rms": np.concatenate(rms_all),
+                    "zcr": np.concatenate(zcr_all),
+                }
+            )
+
+    return needed.mapInPandas(
+        feats, schema="audio_id string, frame_idx int, rms double, zcr double"
+    )
+
+
+def audio_clip_features(
+    audio: DataFrame, t0: float, t1: float, frame: int = 512, hop: int = 256
+) -> DataFrame:
+    """-> (audio_id, frame_idx, rms, zcr) for the time window [t0, t1)
+    seconds only, decoded by SAMPLE-RANGE SEEK (functions/av.
+    decode_audio_range): for 'adpcm' only the blocks covering the window
+    are decoded, for 'pcm16' only those bytes are sliced — payload bytes
+    outside the window are never parsed, the access pattern that keeps
+    clip-level feature extraction affordable when the audio column is the
+    bulk of the table."""
+    needed = audio.select("audio_id", "bytes", "fmt", "sr", "n_samples")
+
+    def feats(batches):
+        for pdf in batches:
+            ids, fidx, rms_all, zcr_all = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                s0 = min(int(t0 * row.sr), int(row.n_samples))
+                s1 = min(int(t1 * row.sr), int(row.n_samples))
+                if s1 <= s0:
+                    continue
+                x = av.decode_audio_range(row.bytes, s0, s1, row.fmt)
                 rms, zcr = av.audio_frame_features(x, frame=frame, hop=hop)
                 ids.extend([row.audio_id] * len(rms))
                 fidx.append(np.arange(len(rms), dtype=np.int32))
