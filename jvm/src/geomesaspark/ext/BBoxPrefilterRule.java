@@ -1,0 +1,191 @@
+package geomesaspark.ext;
+
+import java.util.ArrayList;
+import java.util.List;
+import java.util.regex.Matcher;
+import java.util.regex.Pattern;
+
+import org.apache.spark.sql.catalyst.expressions.And;
+import org.apache.spark.sql.catalyst.expressions.Expression;
+import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual;
+import org.apache.spark.sql.catalyst.expressions.LessThanOrEqual;
+import org.apache.spark.sql.catalyst.expressions.Literal;
+import org.apache.spark.sql.catalyst.expressions.PythonUDF;
+import org.apache.spark.sql.catalyst.plans.logical.Filter;
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
+import org.apache.spark.sql.catalyst.rules.Rule;
+import org.apache.spark.sql.types.DataTypes;
+
+/**
+ * Catalyst optimizer rule: bbox-prefilter injection for exact spatial
+ * refinement UDFs — the JVM-side analog of the reference's
+ * SQLRules.STIntersectsRule / STContainsRule (reference:
+ * geomesa-spark/geomesa-spark-sql/src/main/scala/org/apache/spark/sql/
+ * SQLRules.scala:36-141, which intercepts Filter(st_* predicate) plans and
+ * replaces the relation with an index-range scan, keeping the exact
+ * predicate as a post-filter).
+ *
+ * Rewrite: a Filter whose condition contains the Arrow-batched Python UDF
+ *   st_pip_wkt(lon, lat, 'POLYGON (...)')     (exact point-in-polygon)
+ * gains native conjuncts
+ *   lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy
+ * derived from the WKT literal's bounding box — a NECESSARY condition of
+ * the exact predicate, so results are unchanged. Catalyst's own
+ * PushDownPredicates then moves those conjuncts through the plan to the
+ * file scan (PushedFilters + row-group pruning), so the slow exact UDF only
+ * ever sees bbox survivors: the index-prefilter + exact-refine shape the
+ * engine's DataFrame API builds explicitly (operators/spatial_join.py),
+ * here recovered automatically from a user's plain spark.sql(...) query.
+ *
+ * Idempotence (the rule runs in a fixed-point batch): injection is skipped
+ * when semantically-equal conjuncts already exist in this Filter OR in any
+ * descendant Filter — after PushDownPredicates splits the rewritten Filter,
+ * the re-visited UDF-only Filter sees its bbox conjuncts below and leaves
+ * the plan unchanged, so the batch converges.
+ */
+public class BBoxPrefilterRule extends Rule<LogicalPlan> {
+
+  /** UDF name prefix this rule recognizes (registered by
+   *  geomesa_spark.extensions.register_st_pip_wkt). */
+  static final String UDF_NAME = "st_pip_wkt";
+
+  private static final Pattern NUM =
+      Pattern.compile("[-+]?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?");
+
+  @Override
+  public LogicalPlan apply(LogicalPlan plan) {
+    return transform(plan);
+  }
+
+  private LogicalPlan transform(LogicalPlan node) {
+    List<LogicalPlan> kids = new ArrayList<>();
+    boolean changed = false;
+    scala.collection.Iterator<LogicalPlan> it = node.children().iterator();
+    while (it.hasNext()) {
+      LogicalPlan child = it.next();
+      LogicalPlan t = transform(child);
+      changed |= (t != child);
+      kids.add(t);
+    }
+    LogicalPlan out = changed
+        ? (LogicalPlan) node.withNewChildren(
+            scala.jdk.javaapi.CollectionConverters.asScala(kids).toSeq())
+        : node;
+    if (out instanceof Filter) {
+      Filter f = (Filter) out;
+      List<Expression> existing = new ArrayList<>();
+      collectConjuncts(f.condition(), existing);
+      collectDescendantConjuncts(f.child(), existing);
+      Expression cond = f.condition();
+      List<PythonUDF> udfs = new ArrayList<>();
+      collectUdfs(cond, udfs);
+      for (PythonUDF udf : udfs) {
+        double[] bbox = wktBBox(udf);
+        if (bbox == null) {
+          continue;
+        }
+        Expression lon = udf.children().apply(0);
+        Expression lat = udf.children().apply(1);
+        Expression[] ranges = new Expression[] {
+          new GreaterThanOrEqual(lon, lit(bbox[0])),
+          new LessThanOrEqual(lon, lit(bbox[1])),
+          new GreaterThanOrEqual(lat, lit(bbox[2])),
+          new LessThanOrEqual(lat, lit(bbox[3])),
+        };
+        for (Expression r : ranges) {
+          if (!containsSemantically(existing, r)) {
+            cond = new And(r, cond);
+            existing.add(r);
+          }
+        }
+      }
+      if (cond != f.condition()) {
+        return new Filter(cond, f.child());
+      }
+    }
+    return out;
+  }
+
+  private static Literal lit(double v) {
+    return new Literal(v, DataTypes.DoubleType);
+  }
+
+  private static boolean containsSemantically(
+      List<Expression> have, Expression want) {
+    for (Expression e : have) {
+      if (e.semanticEquals(want)) {
+        return true;
+      }
+    }
+    return false;
+  }
+
+  /** Split nested ANDs into conjuncts. */
+  private static void collectConjuncts(Expression e, List<Expression> out) {
+    if (e instanceof And) {
+      collectConjuncts(((And) e).left(), out);
+      collectConjuncts(((And) e).right(), out);
+    } else {
+      out.add(e);
+    }
+  }
+
+  /** Conjuncts of every Filter below (where PushDownPredicates leaves the
+   *  injected ranges once it splits them out of the rewritten Filter). */
+  private static void collectDescendantConjuncts(
+      LogicalPlan p, List<Expression> out) {
+    if (p instanceof Filter) {
+      collectConjuncts(((Filter) p).condition(), out);
+    }
+    scala.collection.Iterator<LogicalPlan> it = p.children().iterator();
+    while (it.hasNext()) {
+      collectDescendantConjuncts(it.next(), out);
+    }
+  }
+
+  private static void collectUdfs(Expression e, List<PythonUDF> out) {
+    if (e instanceof PythonUDF
+        && ((PythonUDF) e).name().startsWith(UDF_NAME)
+        && ((PythonUDF) e).children().size() == 3) {
+      out.add((PythonUDF) e);
+      return;
+    }
+    scala.collection.Iterator<Expression> it = e.children().iterator();
+    while (it.hasNext()) {
+      collectUdfs(it.next(), out);
+    }
+  }
+
+  /** {minx, maxx, miny, maxy} of the UDF's WKT string literal, or null if
+   *  the third argument is not a foldable string / has no coordinates.
+   *  WKT coordinates alternate lon lat, so the numeric scan's even indexes
+   *  are X and odd indexes are Y for any (MULTI)POLYGON literal. */
+  private static double[] wktBBox(PythonUDF udf) {
+    Expression arg = udf.children().apply(2);
+    if (!(arg instanceof Literal) || ((Literal) arg).value() == null) {
+      return null;
+    }
+    String wkt = ((Literal) arg).value().toString();
+    Matcher m = NUM.matcher(wkt);
+    double minx = Double.POSITIVE_INFINITY;
+    double maxx = Double.NEGATIVE_INFINITY;
+    double miny = Double.POSITIVE_INFINITY;
+    double maxy = Double.NEGATIVE_INFINITY;
+    int i = 0;
+    while (m.find()) {
+      double v = Double.parseDouble(m.group());
+      if (i % 2 == 0) {
+        minx = Math.min(minx, v);
+        maxx = Math.max(maxx, v);
+      } else {
+        miny = Math.min(miny, v);
+        maxy = Math.max(maxy, v);
+      }
+      i++;
+    }
+    if (i < 6 || i % 2 != 0) {
+      return null;
+    }
+    return new double[] {minx, maxx, miny, maxy};
+  }
+}

@@ -1,0 +1,115 @@
+"""Catalyst SparkSessionExtensions injection (jvm/ + geomesa_spark/extensions.py).
+
+The JVM rule is a static-conf extension, so the positive test runs in a
+fresh subprocess JVM; the shared-session test is the differential control
+showing the bbox pushdown comes from the rule, not from Catalyst alone.
+Reference analog: SQLRules.scala:36-141, 204-256 (filter interception +
+extension registration)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WKT = "POLYGON ((139.5 35.4, 139.95 35.4, 139.95 35.9, 139.5 35.9, 139.5 35.4))"
+
+_CHILD = r'''
+import sys
+sys.path.insert(0, %(repo)r)
+from geomesa_spark.extensions import extended_session, where_pip_sql
+from geomesa_spark.fixtures import ensure_images_parquet
+from geomesa_spark.core.geometry import from_wkt, points_in_polygon, polygon_edges
+
+spark = extended_session(
+    cpus=4, **{"spark.sql.maxMetadataStringLength": "10000"}
+)
+path = ensure_images_parquet(spark, 20000)
+df = spark.read.parquet(path)
+out = where_pip_sql(spark, df, "lon", "lat", %(wkt)r)
+opt = out._jdf.queryExecution().optimizedPlan().toString()
+phys = out._jdf.queryExecution().executedPlan().toString()
+n = out.count()
+pdf = df.select("lon", "lat").toPandas()
+truth = int(points_in_polygon(
+    pdf.lon.to_numpy(), pdf.lat.to_numpy(),
+    polygon_edges(from_wkt(%(wkt)r))).sum())
+print("MARK rows", n)
+print("MARK truth", truth)
+print("MARK inj_lon_lo", opt.count(">= 139.5"))
+print("MARK inj_lat_hi", opt.count("<= 35.9"))
+print("MARK pushed", int("GreaterThanOrEqual(lat,35.4)" in phys
+                         and "LessThanOrEqual(lon,139.95)" in phys))
+print("MARK udf_refine_kept", int("st_pip_wkt" in phys))
+'''
+
+
+def test_jvm_rule_injects_bbox_and_pushes_down():
+    """With the extension: plain spark.sql over the refine UDF gains native
+    bbox conjuncts (each EXACTLY once — fixed-point idempotence), they reach
+    the parquet scan as PushedFilters, the exact UDF survives as refine, and
+    the row set equals the numpy ground truth."""
+    script = _CHILD % {"repo": REPO, "wkt": WKT}
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_NO_DAEMON_PRELOAD="1")
+    res = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    marks = dict(
+        line.split(None, 2)[1:]
+        for line in res.stdout.splitlines()
+        if line.startswith("MARK ")
+    )
+    assert int(marks["rows"]) == int(marks["truth"]) > 0
+    assert int(marks["inj_lon_lo"]) == 1, marks  # injected, exactly once
+    assert int(marks["inj_lat_hi"]) == 1, marks
+    assert int(marks["pushed"]) == 1, marks  # ranges reached the file scan
+    assert int(marks["udf_refine_kept"]) == 1, marks
+    # fixed-point batch converged without the rule oscillating
+    assert "Max iterations" not in res.stderr
+
+
+def test_without_extension_udf_scans_unaided(spark):
+    """Differential control in the extension-less shared session: same SQL,
+    same correct rows, but NO bbox conjuncts appear — proving the pushdown
+    in the positive test comes from the injected JVM rule."""
+    from geomesa_spark.extensions import where_pip_sql
+    from geomesa_spark.fixtures import ensure_images_parquet
+    from geomesa_spark.core.geometry import (
+        from_wkt,
+        points_in_polygon,
+        polygon_edges,
+    )
+
+    df = spark.read.parquet(ensure_images_parquet(spark, 20000))
+    out = where_pip_sql(spark, df, "lon", "lat", WKT)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert ">= 139.5" not in opt and "<= 35.9" not in opt
+    pdf = df.select("lon", "lat").toPandas()
+    truth = points_in_polygon(
+        pdf.lon.to_numpy(),
+        pdf.lat.to_numpy(),
+        polygon_edges(from_wkt(WKT)),
+    ).sum()
+    assert out.count() == int(truth) > 0
+
+
+def test_jar_source_and_build_script_exist():
+    """The jar ships with its sources and one-command build (javac-only)."""
+    assert os.path.exists(
+        os.path.join(REPO, "jvm", "src", "geomesaspark", "ext",
+                     "BBoxPrefilterRule.java")
+    )
+    assert os.path.exists(os.path.join(REPO, "jvm", "build.sh"))
+    from geomesa_spark.extensions import build_extensions_jar
+
+    assert os.path.exists(build_extensions_jar())
