@@ -429,3 +429,182 @@ def test_streaming_cell_density_file_stream(spark, tmp_path):
         q.stop()
     base = 1704067200
     assert got == [(base, 1), (base, 2)]  # NYC cell accumulated to 2
+
+
+FEV_SCHEMA = "user_id long, ts timestamp, event_type string"
+
+
+def _fevents(rows):
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return pdf
+
+
+def _latest(table, spark):
+    """Depth at the highest seq per user — the streaming funnel's readout
+    contract (depth is not monotone under disorder + window)."""
+    return {
+        r.user_id: r.depth
+        for r in spark.sql(
+            f"SELECT user_id, max_by(depth, seq) depth FROM {table} GROUP BY 1"
+        ).collect()
+    }
+
+
+def test_greedy_fold_boundaries():
+    """The pure fold mirrors the batch SQL lambda's edge rules: strictly-
+    after matching (same-second step2 does not count), window inclusive at
+    t0 + window_s, greedy earliest completion, depth never decreases."""
+    from geomesa_spark.streaming.funnel import _greedy_fold
+
+    steps = ["a", "b", "c"]
+    # same-second a then b: b is NOT strictly after a -> depth 1
+    assert _greedy_fold((0, 0, 0), [(10, "a"), (10, "b")], steps, None)[0] == 1
+    assert _greedy_fold((0, 0, 0), [(10, "a"), (11, "b")], steps, None)[0] == 2
+    # window inclusive at t0+window, exclusive beyond
+    assert _greedy_fold((0, 0, 0), [(10, "a"), (20, "b")], steps, 10)[0] == 2
+    assert _greedy_fold((0, 0, 0), [(10, "a"), (21, "b")], steps, 10)[0] == 1
+    # greedy: earliest step-1 anchors even if a later anchor would do better
+    assert (
+        _greedy_fold(
+            (0, 0, 0), [(10, "a"), (30, "a"), (31, "b")], steps, 5
+        )[0]
+        == 1
+    )
+    # resume from a committed accumulator
+    assert _greedy_fold((1, 10, 10), [(12, "b"), (13, "c")], steps, None)[0] == 3
+
+
+def test_streaming_funnel_file_stream_out_of_order_parity(spark, tmp_path):
+    """Micro-batches deliver timestamps OUT OF ORDER (all within the
+    watermark): the last emitted depth per user must equal the oracle-gated
+    batch funnel over the full event set — the buffered-rescan path."""
+    from geomesa_spark.operators.sessions import funnel
+    from geomesa_spark.streaming.funnel import streaming_funnel
+
+    steps = ["view", "cart", "buy"]
+    all_rows = [
+        (1, "2024-01-01 00:00:10", "view"),
+        (1, "2024-01-01 00:01:00", "cart"),
+        (1, "2024-01-01 00:02:00", "buy"),    # user 1 completes
+        (2, "2024-01-01 00:00:05", "view"),
+        (2, "2024-01-01 00:03:00", "cart"),   # user 2 depth 2
+        (3, "2024-01-01 00:01:00", "cart"),   # no step-1 -> depth 0
+        (4, "2024-01-01 00:04:00", "view"),   # depth 1
+    ]
+    # chunk 2 delivers EARLIER timestamps than chunk 1 (bounded disorder):
+    # user 1's 'view' and user 2's 'cart' arrive late; depths only settle
+    # once the late rows land.
+    chunk1 = [all_rows[1], all_rows[2], all_rows[3], all_rows[5]]
+    chunk2 = [all_rows[0], all_rows[4], all_rows[6]]
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    spark.createDataFrame(_fevents(chunk1), schema=FEV_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(FEV_SCHEMA).parquet(str(src))
+    q = (
+        streaming_funnel(stream, steps, watermark_s=7 * 24 * 3600)
+        .writeStream.format("memory")
+        .queryName("funnel_t1")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = _latest("funnel_t1", spark)
+        # before the late 'view' rows: user 1 has cart+buy only -> 0
+        assert mid[1] == 0 and mid[2] == 1 and mid[3] == 0
+        spark.createDataFrame(_fevents(chunk2), schema=FEV_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got = _latest("funnel_t1", spark)
+    finally:
+        q.stop()
+    batch = spark.createDataFrame(_fevents(all_rows), schema=FEV_SCHEMA)
+    want = {r.user_id: r.depth for r in funnel(batch, steps).collect()}
+    assert got == want == {1: 3, 2: 2, 3: 0, 4: 1}
+
+
+def test_streaming_funnel_commit_path_and_fuzz_parity(spark, tmp_path):
+    """In-order micro-batches spanning hours with a SMALL watermark, random
+    workload: old events flow through the committed-accumulator path (state
+    drops them from the buffer) and final depths still equal the batch
+    funnel — fuzzed over many users with a fixed seed, window_s engaged."""
+    import numpy as np
+
+    from geomesa_spark.operators.sessions import funnel
+    from geomesa_spark.streaming.funnel import streaming_funnel
+
+    rng = np.random.default_rng(42)
+    steps = ["s1", "s2", "s3"]
+    types = steps + ["noise"]
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for _ in range(300):
+        u = int(rng.integers(1, 40))
+        t = base + pd.Timedelta(seconds=int(rng.integers(0, 6 * 3600)))
+        rows.append((u, str(t), str(types[rng.integers(0, len(types))])))
+    rows.sort(key=lambda r: r[1])  # in-order arrival, 6-hour span
+    thirds = [rows[:100], rows[100:200], rows[200:]]
+    src = tmp_path / "funnel_fuzz"
+    src.mkdir()
+    stream = spark.readStream.schema(FEV_SCHEMA).parquet(str(src))
+    q = (
+        streaming_funnel(stream, steps, window_s=1800, watermark_s=600)
+        .writeStream.format("memory")
+        .queryName("funnel_t2")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        for chunk in thirds:
+            spark.createDataFrame(_fevents(chunk), schema=FEV_SCHEMA) \
+                .coalesce(1).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+        got = _latest("funnel_t2", spark)
+    finally:
+        q.stop()
+    batch = spark.createDataFrame(_fevents(rows), schema=FEV_SCHEMA)
+    want = {
+        r.user_id: r.depth for r in funnel(batch, steps, window_s=1800).collect()
+    }
+    assert got == want and len(want) >= 30
+
+
+def test_streaming_funnel_tentative_completion_can_retract(spark, tmp_path):
+    """Regression for the done-marking rule: a TENTATIVE (above-watermark)
+    completion must not freeze — when a later micro-batch delivers an
+    EARLIER step-1 anchor that pushes the later steps out of the completion
+    window, the emitted depth must retract to the batch truth."""
+    from geomesa_spark.operators.sessions import funnel
+    from geomesa_spark.streaming.funnel import streaming_funnel
+
+    steps = ["a", "b"]
+    chunk1 = [(1, "2024-01-01 01:00:00", "a"), (1, "2024-01-01 01:00:30", "b")]
+    late = [(1, "2024-01-01 00:00:00", "a")]  # earlier anchor, b now > window
+    src = tmp_path / "funnel_retract"
+    src.mkdir()
+    spark.createDataFrame(_fevents(chunk1), schema=FEV_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(FEV_SCHEMA).parquet(str(src))
+    q = (
+        streaming_funnel(stream, steps, window_s=60, watermark_s=30 * 24 * 3600)
+        .writeStream.format("memory")
+        .queryName("funnel_t3")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert _latest("funnel_t3", spark) == {1: 2}  # tentative completion
+        spark.createDataFrame(_fevents(late), schema=FEV_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got = _latest("funnel_t3", spark)
+    finally:
+        q.stop()
+    batch = spark.createDataFrame(
+        _fevents(chunk1 + late), schema=FEV_SCHEMA
+    )
+    want = {r.user_id: r.depth for r in funnel(batch, steps, window_s=60).collect()}
+    assert got == want == {1: 1}  # retracted: greedy re-anchored at 00:00
