@@ -8,4 +8,5 @@ from .live_view import (  # noqa: F401
     stateful_live_view,
 )
 from .density import streaming_cell_density  # noqa: F401
+from .funnel import streaming_funnel  # noqa: F401
 from .sessions import streaming_sessionize  # noqa: F401

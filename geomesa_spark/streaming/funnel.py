@@ -77,7 +77,9 @@ def streaming_funnel(
     pruned BEFORE the shuffle (same as batch); the only shuffle is the
     groupBy on the user key. Works on finite streams and, via the parity
     tests, agrees row-for-row with the oracle-gated batch ``funnel`` for
-    any disorder within the watermark."""
+    any disorder within the watermark. The emitted ``user_id`` column is
+    typed long (the events table's key type); a string-keyed stream needs
+    only the ``outputStructType`` declaration changed."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     if not steps:
