@@ -122,7 +122,8 @@ def where_pip_sql(
     register_st_pip_wkt(spark)
     df.createOrReplaceTempView("_pip_input")
     cols = ", ".join(f"`{c}`" for c in df.columns)
+    lit = wkt.replace("'", "''")  # SQL-literal escape
     return spark.sql(
         f"SELECT {cols} FROM _pip_input "
-        f"WHERE st_pip_wkt(`{lon}`, `{lat}`, '{wkt}')"
+        f"WHERE st_pip_wkt(`{lon}`, `{lat}`, '{lit}')"
     )

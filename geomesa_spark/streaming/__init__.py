@@ -7,6 +7,7 @@ from .live_view import (  # noqa: F401
     merged_view,
     stateful_live_view,
 )
+from .cohorts import cohort_table_from_deltas, streaming_cohort_deltas  # noqa: F401
 from .density import streaming_cell_density  # noqa: F401
 from .funnel import streaming_funnel  # noqa: F401
 from .sessions import streaming_sessionize  # noqa: F401

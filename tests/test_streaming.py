@@ -608,3 +608,129 @@ def test_streaming_funnel_tentative_completion_can_retract(spark, tmp_path):
     )
     want = {r.user_id: r.depth for r in funnel(batch, steps, window_s=60).collect()}
     assert got == want == {1: 1}  # retracted: greedy re-anchored at 00:00
+
+
+def test_streaming_cohort_deltas_retroactive_parity(spark, tmp_path):
+    """Cohort deltas fold to the batch cohort_retention table even when a
+    LATE EARLIER event retroactively moves a user's cohort (the case no
+    windowed streaming aggregate can express): user 1 first appears in
+    week 1, then a week-0 event arrives — every (cohort, offset) pair they
+    contribute to must retract and re-add."""
+    from geomesa_spark.operators.sessions import cohort_retention
+    from geomesa_spark.streaming.cohorts import (
+        cohort_table_from_deltas,
+        streaming_cohort_deltas,
+    )
+
+    week = 604_800
+    chunk1 = [
+        (1, "2024-01-08 00:00:00", "a"),   # week w+1 (provisional cohort)
+        (1, "2024-01-16 00:00:00", "a"),   # week w+2
+        (2, "2024-01-01 00:00:00", "a"),   # week w
+    ]
+    late = [(1, "2024-01-02 00:00:00", "a")]  # week w: user 1 cohort moves
+    src = tmp_path / "cohort_src"
+    src.mkdir()
+    spark.createDataFrame(_fevents(chunk1), schema=FEV_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(FEV_SCHEMA).parquet(str(src))
+    q = (
+        streaming_cohort_deltas(stream, period_s=week,
+                                watermark_s=30 * 24 * 3600)
+        .writeStream.format("memory")
+        .queryName("cohort_t1")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {
+            (r.cohort, r.offset): r.n_users
+            for r in cohort_table_from_deltas(
+                spark.sql("SELECT * FROM cohort_t1")
+            ).collect()
+        }
+        batch_mid = {
+            (r.cohort, r.offset): r.n_users
+            for r in cohort_retention(
+                spark.createDataFrame(_fevents(chunk1), schema=FEV_SCHEMA),
+                period_s=week,
+            ).collect()
+        }
+        assert mid == batch_mid
+        spark.createDataFrame(_fevents(late), schema=FEV_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got = {
+            (r.cohort, r.offset): r.n_users
+            for r in cohort_table_from_deltas(
+                spark.sql("SELECT * FROM cohort_t1")
+            ).collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.cohort, r.offset): r.n_users
+        for r in cohort_retention(
+            spark.createDataFrame(_fevents(chunk1 + late), schema=FEV_SCHEMA),
+            period_s=week,
+        ).collect()
+    }
+    assert got == want
+    # the retroactive move really happened: user 1's cohort is now week w,
+    # so (w, 0) has both users and the provisional (w+1, *) rows are gone
+    w = sorted(c for c, _ in want)[0]
+    assert want[(w, 0)] == 2 and all(c == w for c, _ in want)
+
+
+def test_streaming_cohort_deltas_fuzz_parity(spark, tmp_path):
+    """Random users/timestamps over 6 weeks in 3 arbitrary chunks: folded
+    deltas equal batch cohort_retention exactly."""
+    import numpy as np
+
+    from geomesa_spark.operators.sessions import cohort_retention
+    from geomesa_spark.streaming.cohorts import (
+        cohort_table_from_deltas,
+        streaming_cohort_deltas,
+    )
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (
+            int(rng.integers(1, 25)),
+            str(base + pd.Timedelta(seconds=int(rng.integers(0, 6 * 604_800)))),
+            "a",
+        )
+        for _ in range(200)
+    ]
+    src = tmp_path / "cohort_fuzz"
+    src.mkdir()
+    stream = spark.readStream.schema(FEV_SCHEMA).parquet(str(src))
+    q = (
+        streaming_cohort_deltas(stream, watermark_s=60 * 24 * 3600)
+        .writeStream.format("memory")
+        .queryName("cohort_t2")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        for lo, hi in ((0, 70), (70, 140), (140, 200)):
+            spark.createDataFrame(_fevents(rows[lo:hi]), schema=FEV_SCHEMA) \
+                .coalesce(1).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+        got = {
+            (r.cohort, r.offset): r.n_users
+            for r in cohort_table_from_deltas(
+                spark.sql("SELECT * FROM cohort_t2")
+            ).collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.cohort, r.offset): r.n_users
+        for r in cohort_retention(
+            spark.createDataFrame(_fevents(rows), schema=FEV_SCHEMA)
+        ).collect()
+    }
+    assert got == want and len(want) >= 6
