@@ -621,7 +621,12 @@ def run_scaling(n_images: int = 1_200_000,
             "Protocol: each (N, 4N) pair measured back-to-back in fresh JVMs,\n"
             "one warmup pass + MEDIAN of timed passes per level; the\n"
             "bare-multiprocessing control runs the IDENTICAL kernel + splits with\n"
-            "the identical protocol.\n\n"
+            "the identical protocol. Round 4 widens the HEADLINE pair to\n"
+            "median-of-5 samples (the diagnostic pair stays at 3): 3-sample\n"
+            "medians straddled the 0.8 target across rounds with ~0.1\n"
+            "per-sample spread driven by host capacity drift (the hardware\n"
+            "control drifts identically), so the estimator was tightened —\n"
+            "every sample is still published in the last column.\n\n"
             "| pair | rows/s @N | rows/s @4N | speedup | raw efficiency (median sample) | control (hardware) efficiency | all samples |\n"
             "|---|---|---|---|---|---|---|\n"
             f"{rows}\n\n"
