@@ -53,6 +53,45 @@ def test_spark_submit_with_pyfiles(tmp_path):
     assert res["n_images"] > 0 and res["n_tiles"] > 0
 
 
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_with_extension_jar(tmp_path):
+    """Full deployment path for the Catalyst extension: spark-submit with
+    --py-files (engine) + --jars (rule) + spark.sql.extensions, run from
+    OUTSIDE the repo. The job reports rows AND whether the injected bbox
+    conjuncts reached the parquet scan in that packaged JVM."""
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    from package_pyfiles import build
+
+    sys.path.insert(0, ROOT)
+    from geomesa_spark.extensions import EXTENSION_CLASS, build_extensions_jar
+
+    zip_path = build(str(tmp_path / "geomesa_spark.zip"))
+    jar_path = build_extensions_jar()
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--py-files", zip_path,
+            "--jars", jar_path,
+            "--conf", f"spark.sql.extensions={EXTENSION_CLASS}",
+            os.path.join(ROOT, "scripts", "submit_ext_job.py"),
+            "20000",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        timeout=420,
+    )
+    lines = [
+        l for l in proc.stdout.splitlines() if l.startswith("SUBMITEXTRESULT ")
+    ]
+    assert lines, f"no result line; stderr tail: {proc.stderr[-1500:]}"
+    res = json.loads(lines[-1][len("SUBMITEXTRESULT "):])
+    assert res["rows"] > 0
+    assert res["pushed"] is True
+    assert res["extension_conf"] == EXTENSION_CLASS
+
+
 def test_dist_zip_is_fresh():
     """dist/geomesa_spark.zip must contain every module of the package —
     a stale deployment artifact (round-3 caught jpeg/av/media missing) is a
