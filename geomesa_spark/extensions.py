@@ -113,6 +113,61 @@ def register_st_pip_wkt(spark: SparkSession):
     return st_pip_wkt
 
 
+def register_st_dwithin_pt(spark: SparkSession):
+    """Register the exact haversine-radius refine UDF the JVM rule also
+    recognizes: st_dwithin_pt(lon, lat, lon0, lat0, meters) -> boolean.
+    Vectorized numpy great-circle distance (same EARTH_RADIUS_M as
+    operators.proximity.haversine_sql)."""
+    EARTH_RADIUS_M = 6371008.8
+
+    @F.pandas_udf(T.BooleanType())
+    def st_dwithin_pt(
+        lon: pd.Series,
+        lat: pd.Series,
+        lon0: pd.Series,
+        lat0: pd.Series,
+        meters: pd.Series,
+    ) -> pd.Series:
+        la = np.radians(lat.to_numpy(dtype=np.float64))
+        lb = np.radians(lat0.to_numpy(dtype=np.float64))
+        dla = lb - la
+        dlo = np.radians(
+            lon0.to_numpy(dtype=np.float64) - lon.to_numpy(dtype=np.float64)
+        )
+        h = (
+            np.sin(dla / 2) ** 2
+            + np.cos(la) * np.cos(lb) * np.sin(dlo / 2) ** 2
+        )
+        d = 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+        return pd.Series(d <= meters.to_numpy(dtype=np.float64))
+
+    spark.udf.register("st_dwithin_pt", st_dwithin_pt)
+    return st_dwithin_pt
+
+
+def where_dwithin_sql(
+    spark: SparkSession,
+    df: DataFrame,
+    lon: str,
+    lat: str,
+    lon0: float,
+    lat0: float,
+    meters: float,
+) -> DataFrame:
+    """Filter ``df`` to rows within ``meters`` of (lon0, lat0) through the
+    PLAIN SQL path; with the extension active the JVM rule injects the
+    latitude-corrected bbox prefilter, without it the exact haversine UDF
+    scans every row."""
+    register_st_dwithin_pt(spark)
+    df.createOrReplaceTempView("_dwithin_input")
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    return spark.sql(
+        f"SELECT {cols} FROM _dwithin_input "
+        f"WHERE st_dwithin_pt(`{lon}`, `{lat}`, "
+        f"{float(lon0)!r}, {float(lat0)!r}, {float(meters)!r})"
+    )
+
+
 def where_pip_sql(
     spark: SparkSession, df: DataFrame, lon: str, lat: str, wkt: str
 ) -> DataFrame:

@@ -6,6 +6,7 @@ import java.util.regex.Matcher;
 import java.util.regex.Pattern;
 
 import org.apache.spark.sql.catalyst.expressions.And;
+import org.apache.spark.sql.catalyst.expressions.Cast;
 import org.apache.spark.sql.catalyst.expressions.Expression;
 import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual;
 import org.apache.spark.sql.catalyst.expressions.LessThanOrEqual;
@@ -25,12 +26,19 @@ import org.apache.spark.sql.types.DataTypes;
  * replaces the relation with an index-range scan, keeping the exact
  * predicate as a post-filter).
  *
- * Rewrite: a Filter whose condition contains the Arrow-batched Python UDF
- *   st_pip_wkt(lon, lat, 'POLYGON (...)')     (exact point-in-polygon)
+ * Rewrite: a Filter whose condition contains one of the Arrow-batched
+ * Python refine UDFs
+ *   st_pip_wkt(lon, lat, 'POLYGON (...)')            (exact point-in-polygon)
+ *   st_dwithin_pt(lon, lat, lon0, lat0, meters)      (exact haversine radius)
  * gains native conjuncts
  *   lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy
- * derived from the WKT literal's bounding box — a NECESSARY condition of
- * the exact predicate, so results are unchanged. Catalyst's own
+ * derived from the WKT literal's bounding box (pip) or from the radius's
+ * latitude-corrected degree box (dwithin — the same conservative
+ * worst-case-latitude scale as core.geometry.buffer_point_deg, so the box
+ * always contains the true geodesic disc; skipped entirely when the box
+ * would wrap the antimeridian, where a plain range pair is not a necessary
+ * condition). Either way the injected box is a NECESSARY condition of the
+ * exact predicate, so results are unchanged. Catalyst's own
  * PushDownPredicates then moves those conjuncts through the plan to the
  * file scan (PushedFilters + row-group pruning), so the slow exact UDF only
  * ever sees bbox survivors: the index-prefilter + exact-refine shape the
@@ -45,9 +53,15 @@ import org.apache.spark.sql.types.DataTypes;
  */
 public class BBoxPrefilterRule extends Rule<LogicalPlan> {
 
-  /** UDF name prefix this rule recognizes (registered by
-   *  geomesa_spark.extensions.register_st_pip_wkt). */
-  static final String UDF_NAME = "st_pip_wkt";
+  /** UDF names this rule recognizes (registered by
+   *  geomesa_spark.extensions.register_st_pip_wkt / register_st_dwithin_pt). */
+  static final String PIP_NAME = "st_pip_wkt";
+  static final String DWITHIN_NAME = "st_dwithin_pt";
+
+  /** Engine constants mirrored from geomesa_spark.core.geometry
+   *  (buffer_point_deg) so the injected box matches the Python planner's
+   *  prefilter exactly. */
+  static final double EARTH_RADIUS_M = 6371008.8;
 
   private static final Pattern NUM =
       Pattern.compile("[-+]?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?");
@@ -80,7 +94,9 @@ public class BBoxPrefilterRule extends Rule<LogicalPlan> {
       List<PythonUDF> udfs = new ArrayList<>();
       collectUdfs(cond, udfs);
       for (PythonUDF udf : udfs) {
-        double[] bbox = wktBBox(udf);
+        double[] bbox = udf.name().startsWith(DWITHIN_NAME)
+            ? dwithinBBox(udf)
+            : wktBBox(udf);
         if (bbox == null) {
           continue;
         }
@@ -144,11 +160,14 @@ public class BBoxPrefilterRule extends Rule<LogicalPlan> {
   }
 
   private static void collectUdfs(Expression e, List<PythonUDF> out) {
-    if (e instanceof PythonUDF
-        && ((PythonUDF) e).name().startsWith(UDF_NAME)
-        && ((PythonUDF) e).children().size() == 3) {
-      out.add((PythonUDF) e);
-      return;
+    if (e instanceof PythonUDF) {
+      PythonUDF u = (PythonUDF) e;
+      if ((u.name().startsWith(PIP_NAME) && u.children().size() == 3)
+          || (u.name().startsWith(DWITHIN_NAME)
+              && u.children().size() == 5)) {
+        out.add(u);
+        return;
+      }
     }
     scala.collection.Iterator<Expression> it = e.children().iterator();
     while (it.hasNext()) {
@@ -156,12 +175,64 @@ public class BBoxPrefilterRule extends Rule<LogicalPlan> {
     }
   }
 
+  /** Strip analyzer-inserted casts (an int literal radius arrives as
+   *  Cast(Literal, double)). */
+  private static Expression unwrapCast(Expression e) {
+    while (e instanceof Cast) {
+      e = ((Cast) e).child();
+    }
+    return e;
+  }
+
+  private static Double numericLiteral(Expression e) {
+    e = unwrapCast(e);
+    if (!(e instanceof Literal) || ((Literal) e).value() == null) {
+      return null;
+    }
+    Object v = ((Literal) e).value();
+    if (v instanceof Number) {
+      return ((Number) v).doubleValue();
+    }
+    // SQL decimal literals carry org.apache.spark.sql.types.Decimal,
+    // which is not a java.lang.Number — parse the canonical string form
+    try {
+      return Double.parseDouble(v.toString());
+    } catch (NumberFormatException nfe) {
+      return null;
+    }
+  }
+
+  /** {minx, maxx, miny, maxy} of the latitude-corrected degree box around
+   *  (lon0, lat0) at `meters` — buffer_point_deg's worst-case-latitude
+   *  scale, so the box contains the true geodesic disc. Null when any
+   *  argument is non-literal or the box would wrap the antimeridian. */
+  private static double[] dwithinBBox(PythonUDF udf) {
+    Double lon0 = numericLiteral(udf.children().apply(2));
+    Double lat0 = numericLiteral(udf.children().apply(3));
+    Double meters = numericLiteral(udf.children().apply(4));
+    if (lon0 == null || lat0 == null || meters == null || meters < 0) {
+      return null;
+    }
+    double dlat = Math.toDegrees(meters / EARTH_RADIUS_M);
+    double worstLat = Math.min(Math.abs(lat0) + dlat, 89.999999);
+    double dlon = dlat / Math.max(Math.cos(Math.toRadians(worstLat)), 1e-6);
+    if (lon0 - dlon < -180.0 || lon0 + dlon > 180.0) {
+      return null;  // wrapping box: a plain range pair over-prunes
+    }
+    return new double[] {
+      lon0 - dlon,
+      lon0 + dlon,
+      Math.max(lat0 - dlat, -90.0),
+      Math.min(lat0 + dlat, 90.0),
+    };
+  }
+
   /** {minx, maxx, miny, maxy} of the UDF's WKT string literal, or null if
    *  the third argument is not a foldable string / has no coordinates.
    *  WKT coordinates alternate lon lat, so the numeric scan's even indexes
    *  are X and odd indexes are Y for any (MULTI)POLYGON literal. */
   private static double[] wktBBox(PythonUDF udf) {
-    Expression arg = udf.children().apply(2);
+    Expression arg = unwrapCast(udf.children().apply(2));
     if (!(arg instanceof Literal) || ((Literal) arg).value() == null) {
       return null;
     }

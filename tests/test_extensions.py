@@ -20,8 +20,11 @@ WKT = "POLYGON ((139.5 35.4, 139.95 35.4, 139.95 35.9, 139.5 35.9, 139.5 35.4))"
 
 _CHILD = r'''
 import sys
+import numpy as np
 sys.path.insert(0, %(repo)r)
-from geomesa_spark.extensions import extended_session, where_pip_sql
+from geomesa_spark.extensions import (
+    extended_session, where_dwithin_sql, where_pip_sql,
+)
 from geomesa_spark.fixtures import ensure_images_parquet
 from geomesa_spark.core.geometry import from_wkt, points_in_polygon, polygon_edges
 
@@ -45,6 +48,24 @@ print("MARK inj_lat_hi", opt.count("<= 35.9"))
 print("MARK pushed", int("GreaterThanOrEqual(lat,35.4)" in phys
                          and "LessThanOrEqual(lon,139.95)" in phys))
 print("MARK udf_refine_kept", int("st_pip_wkt" in phys))
+
+# second predicate family, same JVM: exact haversine radius with a
+# latitude-corrected degree-box injection (SQL decimal literals exercise
+# the rule's Decimal handling)
+dw = where_dwithin_sql(spark, df, "lon", "lat", 139.7, 35.68, 25000)
+dopt = dw._jdf.queryExecution().optimizedPlan().toString()
+dphys = dw._jdf.queryExecution().executedPlan().toString()
+dn = dw.count()
+R = 6371008.8
+la = np.radians(pdf.lat.to_numpy()); lb = np.radians(35.68)
+dlo = np.radians(139.7 - pdf.lon.to_numpy())
+h = np.sin((lb - la) / 2) ** 2 + np.cos(la) * np.cos(lb) * np.sin(dlo / 2) ** 2
+d = 2 * R * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+print("MARK dw_rows", dn)
+print("MARK dw_truth", int((d <= 25000).sum()))
+print("MARK dw_injected_once", int(dopt.count(">= 139.") == 1))
+print("MARK dw_pushed", int("GreaterThanOrEqual(lon,139." in dphys
+                            and "LessThanOrEqual(lat,35.9" in dphys))
 '''
 
 
@@ -74,6 +95,10 @@ def test_jvm_rule_injects_bbox_and_pushes_down():
     assert int(marks["inj_lat_hi"]) == 1, marks
     assert int(marks["pushed"]) == 1, marks  # ranges reached the file scan
     assert int(marks["udf_refine_kept"]) == 1, marks
+    # dwithin family: same JVM, decimal-literal radius, degree-box injected
+    assert int(marks["dw_rows"]) == int(marks["dw_truth"]) > 0
+    assert int(marks["dw_injected_once"]) == 1, marks
+    assert int(marks["dw_pushed"]) == 1, marks
     # fixed-point batch converged without the rule oscillating
     assert "Max iterations" not in res.stderr
 
