@@ -31,6 +31,7 @@ spark-submit next to the --py-files zip).
 
 from __future__ import annotations
 
+import itertools
 import os
 import subprocess
 
@@ -39,6 +40,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# unique temp-view names per facade call: a fixed global name lets two
+# interleaved lazy uses in one session clobber each other's input before
+# either executes
+_VIEW_SEQ = itertools.count()
+
+
+def _unique_view(prefix: str) -> str:
+    return f"_{prefix}_input_{next(_VIEW_SEQ)}"
 
 EXTENSION_CLASS = "geomesaspark.ext.SpatialExtensions"
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -145,6 +155,94 @@ def register_st_dwithin_pt(spark: SparkSession):
     return st_dwithin_pt
 
 
+def with_bbox_columns(df: DataFrame, geom_col: str = "geom") -> DataFrame:
+    """Writer-side step for WKB geometry tables: materialize the per-row
+    bounding box as four plain double columns ``{geom}_xmin/_xmax/_ymin/
+    _ymax`` next to the opaque binary column — the XZ-storage analog
+    (reference: geomesa-index-api XZ2/XZ3 write keys derived from the
+    geometry envelope). Parquet keeps min/max row-group statistics for
+    plain doubles, so the JVM rule's injected range conjuncts prune IO
+    where a predicate over WKB bytes never could. One Arrow-batched parse
+    per row at WRITE time; queries pay nothing.
+
+    Null geometry -> null bbox columns (any range conjunct then evaluates
+    null and the row drops, matching the refine UDF's False on null)."""
+    bbox_udf = _bbox_struct_udf()
+    b = f"__{geom_col}_bbox"
+    out = df.withColumn(b, bbox_udf(F.col(geom_col)))
+    for part in ("xmin", "xmax", "ymin", "ymax"):
+        out = out.withColumn(f"{geom_col}_{part}", F.col(f"{b}.{part}"))
+    return out.drop(b)
+
+
+def _bbox_struct_udf():
+    from .core.geometry import from_wkb
+
+    schema = T.StructType(
+        [T.StructField(p, T.DoubleType()) for p in ("xmin", "xmax", "ymin", "ymax")]
+    )
+
+    @F.pandas_udf(schema)
+    def geom_bbox(wkb: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf in wkb:
+            if buf is None:
+                rows.append((None, None, None, None))
+                continue
+            x0, y0, x1, y1 = from_wkb(bytes(buf)).bounds()
+            rows.append((float(x0), float(x1), float(y0), float(y1)))
+        return pd.DataFrame(rows, columns=["xmin", "xmax", "ymin", "ymax"])
+
+    return geom_bbox
+
+
+def register_st_intersects_wkb(spark: SparkSession):
+    """Register the exact geometry-column refine UDF the JVM rule
+    recognizes: st_intersects_wkb(geom_wkb, wkt) -> boolean — full DE-9IM
+    intersects (core.geometry.relate) of each row's WKB geometry against
+    the WKT literal, parsed once per batch. Null geometry -> False."""
+    from .core.geometry import from_wkb, from_wkt, relate
+
+    cache: dict[str, object] = {}
+
+    @F.pandas_udf(T.BooleanType())
+    def st_intersects_wkb(geom: pd.Series, wkt: pd.Series) -> pd.Series:
+        wkts = wkt.to_numpy()
+        out = np.zeros(len(geom), dtype=bool)
+        for w in pd.unique(wkts):
+            q = cache.get(w)
+            if q is None:
+                q = cache[w] = from_wkt(w)
+            idx = np.nonzero(wkts == w)[0]
+            for i in idx:
+                buf = geom.iloc[int(i)]
+                if buf is not None:
+                    out[i] = relate(from_wkb(bytes(buf)), q, "intersects")
+        return pd.Series(out)
+
+    spark.udf.register("st_intersects_wkb", st_intersects_wkb)
+    return st_intersects_wkb
+
+
+def where_intersects_sql(
+    spark: SparkSession, df: DataFrame, geom: str, wkt: str
+) -> DataFrame:
+    """Filter ``df`` to rows whose WKB geometry intersects the WKT literal
+    through the PLAIN SQL path. With the extension active AND the table
+    carrying with_bbox_columns' materialized bbox, the JVM rule injects
+    bbox-overlap conjuncts that push into the scan; without either, the
+    exact DE-9IM UDF scans every row."""
+    register_st_intersects_wkb(spark)
+    view = _unique_view("intersects")
+    df.createOrReplaceTempView(view)
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    lit = wkt.replace("'", "''")
+    return spark.sql(
+        f"SELECT {cols} FROM {view} "
+        f"WHERE st_intersects_wkb(`{geom}`, '{lit}')"
+    )
+
+
 def where_dwithin_sql(
     spark: SparkSession,
     df: DataFrame,
@@ -159,10 +257,11 @@ def where_dwithin_sql(
     latitude-corrected bbox prefilter, without it the exact haversine UDF
     scans every row."""
     register_st_dwithin_pt(spark)
-    df.createOrReplaceTempView("_dwithin_input")
+    view = _unique_view("dwithin")
+    df.createOrReplaceTempView(view)
     cols = ", ".join(f"`{c}`" for c in df.columns)
     return spark.sql(
-        f"SELECT {cols} FROM _dwithin_input "
+        f"SELECT {cols} FROM {view} "
         f"WHERE st_dwithin_pt(`{lon}`, `{lat}`, "
         f"{float(lon0)!r}, {float(lat0)!r}, {float(meters)!r})"
     )
@@ -175,10 +274,11 @@ def where_pip_sql(
     path — no engine planner involved; with the extension active the JVM
     rule injects the bbox prefilter, without it the UDF scans every row."""
     register_st_pip_wkt(spark)
-    df.createOrReplaceTempView("_pip_input")
+    view = _unique_view("pip")
+    df.createOrReplaceTempView(view)
     cols = ", ".join(f"`{c}`" for c in df.columns)
     lit = wkt.replace("'", "''")  # SQL-literal escape
     return spark.sql(
-        f"SELECT {cols} FROM _pip_input "
+        f"SELECT {cols} FROM {view} "
         f"WHERE st_pip_wkt(`{lon}`, `{lat}`, '{lit}')"
     )

@@ -6,6 +6,8 @@ import java.util.regex.Matcher;
 import java.util.regex.Pattern;
 
 import org.apache.spark.sql.catalyst.expressions.And;
+import org.apache.spark.sql.catalyst.expressions.Attribute;
+import org.apache.spark.sql.catalyst.expressions.AttributeReference;
 import org.apache.spark.sql.catalyst.expressions.Cast;
 import org.apache.spark.sql.catalyst.expressions.Expression;
 import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual;
@@ -30,9 +32,18 @@ import org.apache.spark.sql.types.DataTypes;
  * Python refine UDFs
  *   st_pip_wkt(lon, lat, 'POLYGON (...)')            (exact point-in-polygon)
  *   st_dwithin_pt(lon, lat, lon0, lat0, meters)      (exact haversine radius)
+ *   st_intersects_wkb(geom, 'POLYGON (...)')         (exact DE-9IM intersects
+ *                                                     over a WKB geometry col)
  * gains native conjuncts
  *   lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy
- * derived from the WKT literal's bounding box (pip) or from the radius's
+ * (point UDFs), or for the geometry-column form — when the table carries
+ * the materialized bbox columns {geom}_xmin/_xmax/_ymin/_ymax written by
+ * geomesa_spark.extensions.with_bbox_columns (the XZ-storage analog,
+ * reference geomesa-spark-sql SQLRules.scala:36-141 which translates
+ * non-point geometry predicates to index scans) —
+ *   geom_xmin <= qmaxx AND geom_xmax >= qminx AND
+ *   geom_ymin <= qmaxy AND geom_ymax >= qminy
+ * derived from the WKT literal's bounding box (pip/intersects) or from the radius's
  * latitude-corrected degree box (dwithin — the same conservative
  * worst-case-latitude scale as core.geometry.buffer_point_deg, so the box
  * always contains the true geodesic disc; skipped entirely when the box
@@ -54,9 +65,19 @@ import org.apache.spark.sql.types.DataTypes;
 public class BBoxPrefilterRule extends Rule<LogicalPlan> {
 
   /** UDF names this rule recognizes (registered by
-   *  geomesa_spark.extensions.register_st_pip_wkt / register_st_dwithin_pt). */
+   *  geomesa_spark.extensions.register_st_pip_wkt / register_st_dwithin_pt /
+   *  register_st_intersects_wkb). Matched by EXACT name + arity: a user UDF
+   *  that merely shares the prefix (st_pip_wkt_custom) is never touched. */
   static final String PIP_NAME = "st_pip_wkt";
   static final String DWITHIN_NAME = "st_dwithin_pt";
+  static final String INTERSECTS_NAME = "st_intersects_wkb";
+
+  /** Suffixes of the materialized bbox columns written by
+   *  geomesa_spark.extensions.with_bbox_columns — the XZ-storage analog for
+   *  non-point geometry columns: parquet keeps min/max stats per row group
+   *  for plain double columns, so range conjuncts on them prune IO where a
+   *  conjunct on the opaque WKB binary column could not. */
+  static final String[] BBOX_SUFFIXES = {"_xmin", "_xmax", "_ymin", "_ymax"};
 
   /** Engine constants mirrored from geomesa_spark.core.geometry
    *  (buffer_point_deg) so the injected box matches the Python planner's
@@ -94,20 +115,12 @@ public class BBoxPrefilterRule extends Rule<LogicalPlan> {
       List<PythonUDF> udfs = new ArrayList<>();
       collectUdfs(cond, udfs);
       for (PythonUDF udf : udfs) {
-        double[] bbox = udf.name().startsWith(DWITHIN_NAME)
-            ? dwithinBBox(udf)
-            : wktBBox(udf);
-        if (bbox == null) {
+        Expression[] ranges = udf.name().equals(INTERSECTS_NAME)
+            ? intersectsConjuncts(udf, f)
+            : pointConjuncts(udf);
+        if (ranges == null) {
           continue;
         }
-        Expression lon = udf.children().apply(0);
-        Expression lat = udf.children().apply(1);
-        Expression[] ranges = new Expression[] {
-          new GreaterThanOrEqual(lon, lit(bbox[0])),
-          new LessThanOrEqual(lon, lit(bbox[1])),
-          new GreaterThanOrEqual(lat, lit(bbox[2])),
-          new LessThanOrEqual(lat, lit(bbox[3])),
-        };
         for (Expression r : ranges) {
           if (!containsSemantically(existing, r)) {
             cond = new And(r, cond);
@@ -124,6 +137,76 @@ public class BBoxPrefilterRule extends Rule<LogicalPlan> {
 
   private static Literal lit(double v) {
     return new Literal(v, DataTypes.DoubleType);
+  }
+
+  /** lon/lat range conjuncts for the point-column UDFs (pip / dwithin), or
+   *  null when no box can be derived. The coordinate child expressions are
+   *  DUPLICATED into the conjuncts, so injection requires them
+   *  deterministic — Catalyst's own pushdown guard: a non-deterministic
+   *  coordinate would evaluate differently in the conjunct vs the UDF. */
+  private static Expression[] pointConjuncts(PythonUDF udf) {
+    double[] bbox = udf.name().equals(DWITHIN_NAME)
+        ? dwithinBBox(udf)
+        : wktBBox(udf);
+    if (bbox == null) {
+      return null;
+    }
+    Expression lon = udf.children().apply(0);
+    Expression lat = udf.children().apply(1);
+    if (!lon.deterministic() || !lat.deterministic()) {
+      return null;
+    }
+    return new Expression[] {
+      new GreaterThanOrEqual(lon, lit(bbox[0])),
+      new LessThanOrEqual(lon, lit(bbox[1])),
+      new GreaterThanOrEqual(lat, lit(bbox[2])),
+      new LessThanOrEqual(lat, lit(bbox[3])),
+    };
+  }
+
+  /** Bbox-overlap conjuncts for st_intersects_wkb(geomCol, 'WKT') over a
+   *  WKB geometry COLUMN: requires the table to carry the materialized
+   *  bbox columns `{geom}_xmin/_xmax/_ymin/_ymax` (written by
+   *  with_bbox_columns) in the Filter child's output. Injects
+   *    g_xmin <= qmaxx AND g_xmax >= qminx AND
+   *    g_ymin <= qmaxy AND g_ymax >= qminy
+   *  — bbox overlap is a necessary condition of intersects, so results are
+   *  unchanged; the plain double ranges then push to the parquet scan
+   *  where the opaque WKB binary column never could. Null (no injection)
+   *  when the geometry argument is not a bare column, the WKT argument is
+   *  not a foldable string, or any bbox sibling is missing / non-double. */
+  private static Expression[] intersectsConjuncts(PythonUDF udf, Filter f) {
+    if (udf.children().size() != 2
+        || !(udf.children().apply(0) instanceof AttributeReference)) {
+      return null;
+    }
+    AttributeReference geom = (AttributeReference) udf.children().apply(0);
+    double[] q = wktBBoxOf(udf.children().apply(1));
+    if (q == null) {
+      return null;
+    }
+    Attribute[] cols = new Attribute[4];
+    scala.collection.Iterator<Attribute> it = f.child().output().iterator();
+    while (it.hasNext()) {
+      Attribute a = it.next();
+      for (int i = 0; i < 4; i++) {
+        if (a.name().equalsIgnoreCase(geom.name() + BBOX_SUFFIXES[i])
+            && a.dataType() == DataTypes.DoubleType) {
+          cols[i] = a;
+        }
+      }
+    }
+    for (Attribute c : cols) {
+      if (c == null) {
+        return null;
+      }
+    }
+    return new Expression[] {
+      new LessThanOrEqual(cols[0], lit(q[1])),      // g_xmin <= q.maxx
+      new GreaterThanOrEqual(cols[1], lit(q[0])),   // g_xmax >= q.minx
+      new LessThanOrEqual(cols[2], lit(q[3])),      // g_ymin <= q.maxy
+      new GreaterThanOrEqual(cols[3], lit(q[2])),   // g_ymax >= q.miny
+    };
   }
 
   private static boolean containsSemantically(
@@ -162,9 +245,10 @@ public class BBoxPrefilterRule extends Rule<LogicalPlan> {
   private static void collectUdfs(Expression e, List<PythonUDF> out) {
     if (e instanceof PythonUDF) {
       PythonUDF u = (PythonUDF) e;
-      if ((u.name().startsWith(PIP_NAME) && u.children().size() == 3)
-          || (u.name().startsWith(DWITHIN_NAME)
-              && u.children().size() == 5)) {
+      if ((u.name().equals(PIP_NAME) && u.children().size() == 3)
+          || (u.name().equals(DWITHIN_NAME) && u.children().size() == 5)
+          || (u.name().equals(INTERSECTS_NAME)
+              && u.children().size() == 2)) {
         out.add(u);
         return;
       }
@@ -227,12 +311,18 @@ public class BBoxPrefilterRule extends Rule<LogicalPlan> {
     };
   }
 
-  /** {minx, maxx, miny, maxy} of the UDF's WKT string literal, or null if
-   *  the third argument is not a foldable string / has no coordinates.
-   *  WKT coordinates alternate lon lat, so the numeric scan's even indexes
-   *  are X and odd indexes are Y for any (MULTI)POLYGON literal. */
+  /** {minx, maxx, miny, maxy} of the pip UDF's WKT string literal
+   *  (third argument). */
   private static double[] wktBBox(PythonUDF udf) {
-    Expression arg = unwrapCast(udf.children().apply(2));
+    return wktBBoxOf(udf.children().apply(2));
+  }
+
+  /** {minx, maxx, miny, maxy} of a WKT string-literal expression, or null
+   *  if it is not a foldable string / has no coordinates. WKT coordinates
+   *  alternate lon lat, so the numeric scan's even indexes are X and odd
+   *  indexes are Y for any (MULTI)POLYGON literal. */
+  private static double[] wktBBoxOf(Expression raw) {
+    Expression arg = unwrapCast(raw);
     if (!(arg instanceof Literal) || ((Literal) arg).value() == null) {
       return null;
     }

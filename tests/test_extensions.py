@@ -66,6 +66,73 @@ print("MARK dw_truth", int((d <= 25000).sum()))
 print("MARK dw_injected_once", int(dopt.count(">= 139.") == 1))
 print("MARK dw_pushed", int("GreaterThanOrEqual(lon,139." in dphys
                             and "LessThanOrEqual(lat,35.9" in dphys))
+
+# third predicate family, same JVM: WKB geometry COLUMN via materialized
+# bbox columns (VERDICT r4 next-round #2) — a triangle query so bbox
+# overlap is a strict prefilter and the exact DE-9IM refine matters
+import pandas as pd
+from geomesa_spark.extensions import with_bbox_columns, where_intersects_sql
+from geomesa_spark.core.geometry import box, to_wkb, from_wkb, relate
+
+rng = np.random.RandomState(5)
+# 10k global + 3k concentrated near the query triangle so the bbox
+# candidate set is non-trivial and the refine visibly tightens it
+glon = np.concatenate([rng.uniform(-179, 179, 10000),
+                       rng.uniform(139.0, 141.0, 3000)])
+glat = np.concatenate([rng.uniform(-85, 85, 10000),
+                       rng.uniform(35.0, 37.0, 3000)])
+ng = len(glon)
+wkbs = [bytes(to_wkb(box(x - 0.05, y - 0.05, x + 0.05, y + 0.05)))
+        for x, y in zip(glon, glat)]
+gdf = spark.createDataFrame(
+    pd.DataFrame({"gid": np.arange(ng, dtype=np.int64), "geom": wkbs}))
+gpath = "/tmp/ext_geom_tbl.parquet"
+with_bbox_columns(gdf, "geom").write.mode("overwrite").parquet(gpath)
+gt = spark.read.parquet(gpath)
+TRI = "POLYGON ((139.3 35.3, 140.2 35.5, 139.7 36.1, 139.3 35.3))"
+gout = where_intersects_sql(spark, gt, "geom", TRI)
+gopt = gout._jdf.queryExecution().optimizedPlan().toString()
+gphys = gout._jdf.queryExecution().executedPlan().toString()
+gn = gout.count()
+q = from_wkt(TRI)
+qx0, qy0, qx1, qy1 = q.bounds()
+pdf2 = gt.toPandas()
+cand = pdf2[(pdf2.geom_xmin <= qx1) & (pdf2.geom_xmax >= qx0)
+            & (pdf2.geom_ymin <= qy1) & (pdf2.geom_ymax >= qy0)]
+gtruth = sum(relate(from_wkb(bytes(b)), q, "intersects") for b in cand.geom)
+print("MARK g_rows", gn)
+print("MARK g_truth", int(gtruth))
+print("MARK g_refine_matters", int(gn < len(cand)))
+print("MARK g_inj_once", int(gopt.count("<= 140.2") == 1
+                             and gopt.count(">= 139.3") == 1))
+print("MARK g_pushed", int("LessThanOrEqual(geom_xmin,140.2)" in gphys
+                           and "GreaterThanOrEqual(geom_xmax,139.3)" in gphys
+                           and "LessThanOrEqual(geom_ymin,36.1)" in gphys
+                           and "GreaterThanOrEqual(geom_ymax,35.3)" in gphys))
+print("MARK g_udf_kept", int("st_intersects_wkb" in gphys))
+
+# negative controls in the SAME extended JVM:
+# (a) exact-name matching — a colliding-prefix user UDF is never touched
+import pyspark.sql.functions as Fx, pyspark.sql.types as Tx
+
+@Fx.pandas_udf(Tx.BooleanType())
+def st_pip_wkt_custom(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
+    return a < b
+
+spark.udf.register("st_pip_wkt_custom", st_pip_wkt_custom)
+df.createOrReplaceTempView("ext_pts")
+cust = spark.sql(
+    "SELECT * FROM ext_pts WHERE st_pip_wkt_custom(lon, lat, %(wkt)r)")
+copt = cust._jdf.queryExecution().optimizedPlan().toString()
+print("MARK custom_untouched", int(">= 139.5" not in copt
+                                   and "<= 35.9" not in copt))
+# (b) determinism guard — a non-deterministic coordinate expression would
+# evaluate differently in the injected conjunct vs the UDF, so no injection
+nd = spark.sql(
+    "SELECT * FROM ext_pts WHERE st_pip_wkt(lon + rand(), lat, %(wkt)r)")
+ndopt = nd._jdf.queryExecution().optimizedPlan().toString()
+print("MARK nondet_untouched", int(">= 139.5" not in ndopt
+                                   and "<= 35.9" not in ndopt))
 '''
 
 
@@ -99,6 +166,17 @@ def test_jvm_rule_injects_bbox_and_pushes_down():
     assert int(marks["dw_rows"]) == int(marks["dw_truth"]) > 0
     assert int(marks["dw_injected_once"]) == 1, marks
     assert int(marks["dw_pushed"]) == 1, marks
+    # WKB geometry-column family: bbox-overlap conjuncts on the materialized
+    # geom_xmin/.../geom_ymax columns reach the parquet scan, the exact
+    # DE-9IM refine survives AND strictly tightens the bbox candidate set
+    assert int(marks["g_rows"]) == int(marks["g_truth"]) > 0
+    assert int(marks["g_refine_matters"]) == 1, marks
+    assert int(marks["g_inj_once"]) == 1, marks
+    assert int(marks["g_pushed"]) == 1, marks
+    assert int(marks["g_udf_kept"]) == 1, marks
+    # negative controls: exact-name matching + determinism guard
+    assert int(marks["custom_untouched"]) == 1, marks
+    assert int(marks["nondet_untouched"]) == 1, marks
     # fixed-point batch converged without the rule oscillating
     assert "Max iterations" not in res.stderr
 
