@@ -27,6 +27,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "geo_pip_join",
     "geo_pip_convex",
+    "geo_pip_s2",
     "geo_cell_density",
     "geo_tile_density",
     "geo_tile_pyramid",

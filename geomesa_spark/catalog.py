@@ -148,6 +148,54 @@ FROM pts WHERE {' AND '.join(conds)}
 """
 
 
+def q_geo_pip_s2(spark, sf_dir):
+    """S2-scheme spatial join end-to-end (VERDICT r4 next-round #5): the
+    spherical S2 curve (core/s2.py, reference S2SFC / coverer defaults
+    QueryProperties.scala:31) selected via spatial_join(scheme="s2") —
+    Arrow-batched Hilbert encode, s2.cover_geometry BFS cover, native
+    lsb-sentinel-replant ancestor exprs, then the identical broadcast +
+    box-native/PIP-refine plan as Z2. Result set is scheme-independent,
+    so the oracle is plain half-plane / BETWEEN SQL."""
+    pts = _points(spark, sf_dir)
+    polys = {
+        "pent": _pentagon_wkt(),
+        "b_eu": _box_wkt(BOXES["b_eu"]),
+        "b_apac": _box_wkt(BOXES["b_apac"]),
+    }
+    joined = spatial_join(pts, polys, scheme="s2")
+    return joined.groupBy("poly_id").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _oracle_geo_pip_s2():
+    n = len(PENTAGON)
+    conds = []
+    for i in range(n):
+        x0, y0 = PENTAGON[i]
+        x1, y1 = PENTAGON[(i + 1) % n]
+        conds.append(
+            f"(({x1} - {x0}) * (lat - {y0}) - ({y1} - {y0}) * (lon - {x0})) >= 0"
+        )
+    arms = [
+        f"SELECT 'pent' AS poly_id, value FROM pts WHERE {' AND '.join(conds)}"
+    ]
+    for pid in ("b_eu", "b_apac"):
+        x0, y0, x1, y1 = BOXES[pid]
+        arms.append(
+            f"SELECT '{pid}' AS poly_id, value FROM pts "
+            f"WHERE lon BETWEEN {x0} AND {x1} AND lat BETWEEN {y0} AND {y1}"
+        )
+    return f"""
+WITH pts AS (SELECT value, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+hits AS ({' UNION ALL '.join(arms)})
+SELECT poly_id, CAST(count(*) AS BIGINT) AS n_points,
+       round(sum(value), 4) AS sum_value
+FROM hits GROUP BY poly_id
+"""
+
+
 CELL_RES = 8
 
 
@@ -2732,7 +2780,9 @@ WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) <= {IMG_PHASH_
 # QUERIES | RETIRED_QUERIES) and timeable by bench.py.
 
 QUERIES = {
-    # --- round-4 new / changed (least proven first) --------------------------
+    # --- round-5 new (least proven first) -------------------------------------
+    "geo_pip_s2": (q_geo_pip_s2, _oracle_geo_pip_s2()),
+    # --- round-4 new / changed ------------------------------------------------
     "geo_where_geom": (q_geo_where_geom, _oracle_geo_where_geom()),
     "text_dup_spans_hashed": (q_text_dup_spans_hashed, _oracle_text_dup_spans_hashed()),
     "text_bm25": (q_text_bm25, _oracle_text_bm25()),
@@ -2755,7 +2805,6 @@ QUERIES = {
     # --- stable, driver-green since r3 or earlier ----------------------------
     "geo_pip_join": (q_geo_pip_join, _oracle_geo_pip_join()),
     "geo_pip_convex": (q_geo_pip_convex, _oracle_geo_pip_convex()),
-    "geo_cell_density": (q_geo_cell_density, _oracle_geo_cell_density()),
     "geo_tile_pyramid": (q_geo_tile_pyramid, _oracle_geo_tile_pyramid()),
     "geo_z3_cells": (q_geo_z3_cells, _oracle_geo_z3_cells()),
     "geo_knn_table": (q_geo_knn_table, _oracle_geo_knn_table()),
@@ -2794,6 +2843,9 @@ QUERIES = {
 RETIRED_QUERIES = {
     # representative: geo_tile_pyramid (level-14 layer of the pyramid)
     "geo_tile_density": (q_geo_tile_density, _oracle_geo_tile_density()),
+    # representative: geo_tile_pyramid (same native cell-bin count-density;
+    # retired r5 to admit geo_pip_s2 inside the 50-entry driver window)
+    "geo_cell_density": (q_geo_cell_density, _oracle_geo_cell_density()),
     # representative: geo_z3_cells (same 3-way spatiotemporal morton binning)
     "geo_timebin_cells": (q_geo_timebin_cells, _oracle_geo_timebin_cells()),
     # representative: geo_knn_table (the fully-distributed kNN path)

@@ -221,3 +221,154 @@ def cell_center_lonlat(cell) -> tuple[np.ndarray, np.ndarray]:
     lon = np.degrees(np.arctan2(Y, X))
     lat = np.degrees(np.arcsin(np.clip(Z / norm, -1.0, 1.0)))
     return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# Cell -> lon/lat bounds + geometry covers (the S2 analog of
+# cells.cell_bounds / cells.cover_geometry, enabling scheme="s2" joins)
+# ---------------------------------------------------------------------------
+
+def _cell_uv_rect(cell: int) -> tuple[int, float, float, float, float]:
+    """(face, u0, u1, v0, v1): the exact gnomonic-plane rectangle whose
+    normalized image IS the cell's region on the sphere."""
+    c = np.int64(cell)
+    face = int(np.uint64(c) >> np.uint64(_POS_BITS))
+    lsb = int(c & -c)
+    level = int(level_of(np.array([c]))[0])
+    size = 1 << (MAX_LEVEL - level)
+    pos_center = int((np.uint64(c) & ((np.uint64(1) << np.uint64(_POS_BITS)) - np.uint64(1))) >> np.uint64(1)) | (lsb >> 1)
+    i, j = _pos_to_ij(np.array([face]), np.array([pos_center]))
+    i0 = int(i[0]) & ~(size - 1)
+    j0 = int(j[0]) & ~(size - 1)
+    n = float(1 << MAX_LEVEL)
+    u0, u1 = sorted(float(_st_to_uv(s)) for s in (i0 / n, (i0 + size) / n))
+    v0, v1 = sorted(float(_st_to_uv(s)) for s in (j0 / n, (j0 + size) / n))
+    return face, u0, u1, v0, v1
+
+
+def _lon_interval_boxes(a0: float, a1: float, lat0: float, lat1: float):
+    """One or two (lon0, lat0, lon1, lat1) boxes for the lon arc from a0 to
+    a1 taken the SHORT way (arc width < 180 deg, true for any single-face
+    patch), split at the antimeridian when the short way crosses it."""
+    lo, hi = min(a0, a1), max(a0, a1)
+    if hi - lo <= 180.0:
+        return [(lo, lat0, hi, lat1)]
+    return [(hi, lat0, 180.0, lat1), (-180.0, lat0, lo, lat1)]
+
+
+def cell_bounds_lonlat(cell: int) -> list[tuple[float, float, float, float]]:
+    """EXACT lon/lat bounding box(es) of a cell — 1 box, or 2 when the cell
+    crosses the antimeridian, or a full-lon band when it contains a pole.
+    The cell is the normalized image of a face-plane rectangle, so extremes
+    are computed analytically from the face frame (no sampling, no slack):
+
+    - equatorial faces (0,1,3,4): z is one gnomonic coordinate (zv), so
+      tan(lat) = zv / sqrt(1 + ov^2) — monotone in zv, unimodal in |ov|;
+      lon depends ONLY on the other coordinate (monotone).
+    - polar faces (2,5): z = +-1, tan(|lat|) = 1 / sqrt(u^2+v^2) — extremes
+      at the rectangle's nearest/farthest points from the face center; lon
+      extremes at corners (convexity), full circle when the rectangle
+      contains the face center (the pole).
+    """
+    face, u0, u1, v0, v1 = _cell_uv_rect(cell)
+
+    def min_abs(a, b):
+        return 0.0 if a <= 0.0 <= b else min(abs(a), abs(b))
+
+    def max_abs(a, b):
+        return max(abs(a), abs(b))
+
+    if face in (2, 5):
+        # xy frame seen from the pole: face 2 -> (x, y) = (-u, -v) [north],
+        # face 5 -> (x, y) = (v, u) [south]
+        if face == 2:
+            x0, x1, y0, y1 = -u1, -u0, -v1, -v0
+        else:
+            x0, x1, y0, y1 = v0, v1, u0, u1
+        rmin2 = min_abs(x0, x1) ** 2 + min_abs(y0, y1) ** 2
+        rmax2 = max_abs(x0, x1) ** 2 + max_abs(y0, y1) ** 2
+        lat_far = np.degrees(np.arctan(1.0 / np.sqrt(rmax2))) if rmax2 > 0 else 90.0
+        if face == 5:
+            lat_far = -lat_far
+        if rmin2 == 0.0:  # contains the pole
+            pole = 90.0 if face == 2 else -90.0
+            la0, la1 = sorted((lat_far, pole))
+            return [(-180.0, la0, 180.0, la1)]
+        lat_near = np.degrees(np.arctan(1.0 / np.sqrt(rmin2)))
+        if face == 5:
+            lat_near = -lat_near
+        la0, la1 = sorted((float(lat_far), float(lat_near)))
+        cx = np.array([x0, x1, x1, x0])
+        cy = np.array([y0, y0, y1, y1])
+        ang = np.degrees(np.arctan2(cy, cx))
+        if x0 < 0.0 and y0 <= 0.0 <= y1:  # crosses the -x axis: lon wraps
+            shifted = np.where(ang < 0, ang + 360.0, ang)
+            lo, hi = float(shifted.min()), float(shifted.max())
+            return [(lo, la0, 180.0, la1), (-180.0, la0, hi - 360.0, la1)]
+        return [(float(ang.min()), la0, float(ang.max()), la1)]
+
+    # equatorial faces: (zv, ov) = the (z-driving, other) gnomonic coords
+    if face in (0, 1):
+        z0, z1, o0, o1 = v0, v1, u0, u1
+    else:  # faces 3, 4: z = -u
+        z0, z1, o0, o1 = -u1, -u0, v0, v1
+
+    def lat_of(zv, o_abs):
+        return float(np.degrees(np.arctan(zv / np.sqrt(1.0 + o_abs * o_abs))))
+
+    lat_hi = lat_of(z1, min_abs(o0, o1) if z1 >= 0 else max_abs(o0, o1))
+    lat_lo = lat_of(z0, min_abs(o0, o1) if z0 <= 0 else max_abs(o0, o1))
+
+    if face == 0:
+        a0, a1 = np.degrees(np.arctan2([u0, u1], [1.0, 1.0]))
+    elif face == 1:
+        a0, a1 = np.degrees(np.arctan2([1.0, 1.0], [-u0, -u1]))
+    elif face == 3:
+        a0, a1 = np.degrees(np.arctan2([-v0, -v1], [-1.0, -1.0]))
+    else:  # face 4
+        a0, a1 = np.degrees(np.arctan2([-1.0, -1.0], [v0, v1]))
+    return _lon_interval_boxes(float(a0), float(a1), lat_lo, lat_hi)
+
+
+def face_cell(face: int) -> int:
+    """The level-0 cell id of a cube face (signed int64 view — faces 4/5
+    set the sign bit, like every other id in this module)."""
+    u = (np.uint64(face) << np.uint64(_POS_BITS)) | (
+        np.uint64(1) << np.uint64(2 * MAX_LEVEL)
+    )
+    return int(np.array([u], dtype=np.uint64).view(np.int64)[0])
+
+
+def cover_geometry(geom, level: int, max_cells: int = 2048):
+    """Budgeted S2 cell cover of a planar lon/lat geometry — the scheme-"s2"
+    analog of ``cells.cover_geometry`` (same Cover container, same BFS +
+    budget semantics, reference XZ2SFC.ranges / S2 coverer defaults in
+    QueryProperties.scala:31). Classification runs rect_relation against the
+    cell's EXACT lon/lat bounding box(es) (supersets of the curved cell), so
+    'disjoint' and 'contained' verdicts stay sound; ambiguity degrades to
+    'overlapping' (refined exactly row-level)."""
+    from .cells import Cover
+    from .geometry import rect_relation
+
+    cov = Cover(res=level)
+    frontier = [(0, face_cell(f)) for f in range(6)]
+    while frontier:
+        nxt = []
+        for lv, c in frontier:
+            rels = [rect_relation(geom, *b) for b in cell_bounds_lonlat(c)]
+            if all(r == "disjoint" for r in rels):
+                continue
+            if all(r == "contained" for r in rels):
+                cov.contained.append((lv, c))
+            elif lv >= level:
+                cov.overlapping.append((lv, c))
+            else:
+                nxt.append((lv, c))
+        if not nxt:
+            break
+        projected = len(cov.cells) + len(nxt) * 4
+        if projected > max_cells:
+            cov.overlapping.extend(nxt)
+            break
+        frontier = [(lv + 1, int(ch)) for lv, c in nxt for ch in children(c)]
+    return cov

@@ -75,6 +75,7 @@ class PreparedPolygons:
     boxes: dict[str, tuple | None]     # poly_id -> (x0,y0,x1,y1) if axis-aligned rect
     n_contained: int
     n_overlapping: int
+    scheme: str = "z2"                 # cell scheme: "z2" (default) | "s2"
 
     @property
     def all_boxes(self) -> bool:
@@ -124,13 +125,18 @@ _COVER_CACHE: dict[tuple, object] = {}
 _COVER_CACHE_MAX = 4096
 
 
-def _cover_cached(g: Geometry, target: int, max_cells: int):
-    key = (to_wkb(g), target, max_cells)
+def _cover_cached(g: Geometry, target: int, max_cells: int, scheme: str = "z2"):
+    key = (to_wkb(g), target, max_cells, scheme)
     cov = _COVER_CACHE.get(key)
     if cov is None:
         if len(_COVER_CACHE) >= _COVER_CACHE_MAX:
             _COVER_CACHE.clear()
-        cov = cells.cover_geometry(g, target, max_cells=max_cells)
+        if scheme == "s2":
+            from ..core import s2
+
+            cov = s2.cover_geometry(g, target, max_cells=max_cells)
+        else:
+            cov = cells.cover_geometry(g, target, max_cells=max_cells)
         _COVER_CACHE[key] = cov
     return cov
 
@@ -139,7 +145,16 @@ def prepare_polygons(
     polygons: dict[str, Geometry | str],
     res: int = DEFAULT_RES,
     max_cells: int = DEFAULT_MAX_CELLS,
+    scheme: str = "z2",
 ) -> PreparedPolygons:
+    """``scheme="s2"`` selects the spherical S2-style curve (core/s2.py) in
+    place of Z2 — the reference treats S2 as a first-class alternative index
+    (S2SFC usage in geomesa-index-api, coverer defaults
+    QueryProperties.scala:31). Covers keep identical (level, cell, poly_id,
+    refine) shape; an S2 level-l cell spans ~90/2^l degrees vs Z2's
+    360/2^res, so the target level is shifted by 2 to match granularity."""
+    if scheme not in ("z2", "s2"):
+        raise ValueError(f"unknown cell scheme: {scheme!r} (expected z2|s2)")
     cover_rows: list[tuple] = []
     edges: dict[str, np.ndarray] = {}
     boxes: dict[str, tuple | None] = {}
@@ -148,7 +163,9 @@ def prepare_polygons(
         if isinstance(g, str):
             g = from_wkt(g)
         target = min(res, pick_resolution(g, res))
-        cov = _cover_cached(g, target, max_cells)
+        if scheme == "s2":
+            target = max(0, target - 2)
+        cov = _cover_cached(g, target, max_cells, scheme)
         for r, c in cov.contained:
             cover_rows.append((r, int(c), pid, False))
         for r, c in cov.overlapping:
@@ -157,8 +174,10 @@ def prepare_polygons(
         boxes[pid] = as_box(g)
         n_c += len(cov.contained)
         n_o += len(cov.overlapping)
-    return PreparedPolygons(res=res, cover_rows=cover_rows, edges=edges,
-                            boxes=boxes, n_contained=n_c, n_overlapping=n_o)
+    return PreparedPolygons(res=max(0, res - 2) if scheme == "s2" else res,
+                            cover_rows=cover_rows, edges=edges,
+                            boxes=boxes, n_contained=n_c, n_overlapping=n_o,
+                            scheme=scheme)
 
 
 def add_cell_column(
@@ -173,6 +192,44 @@ def add_cell_column(
         df = df.withColumn(name, F.expr(sql))
     drop = [name for name, _ in stages[:-1]]
     return df.drop(*drop)
+
+
+def add_s2_cell_column(
+    df: DataFrame, level: int, lon: str = "lon", lat: str = "lat", out: str = "cell"
+) -> DataFrame:
+    """S2 cell id at ``level`` via ONE Arrow-batched stage (core.s2.encode,
+    vectorized numpy). Unlike Z2's pure-codegen bit math, the S2 Hilbert
+    orientation automaton is sequential over 30 levels — the documented
+    cost of the alternative scheme; everything downstream of the encode is
+    identical native-plan shape to the Z2 path."""
+    from ..core import s2
+
+    @F.pandas_udf(T.LongType())
+    def s2_enc(lo: pd.Series, la: pd.Series) -> pd.Series:
+        return pd.Series(
+            s2.encode(
+                lo.to_numpy(dtype=np.float64), la.to_numpy(dtype=np.float64), level
+            )
+        )
+
+    return df.withColumn(out, s2_enc(F.col(lon), F.col(lat)))
+
+
+def _ancestor_expr(cell_col: str, scheme: str, res: int, r: int):
+    """Native ancestor-at-level-r expression for a cell encoded at ``res``:
+    Z2 drops 2 bits per level (unsigned shift); S2 replants the lsb sentinel
+    (cell & -lsb | lsb, S2CellId.parent's bit identity) — both pure codegen,
+    no Python."""
+    if r >= res:
+        return F.col(cell_col)
+    if scheme == "s2":
+        from ..core import s2 as _s2
+
+        lsb = 1 << (2 * (_s2.MAX_LEVEL - r))
+        return (
+            F.col(cell_col).bitwiseAND(F.lit(-lsb).cast("long")).bitwiseOR(F.lit(lsb))
+        )
+    return F.shiftrightunsigned(F.col(cell_col), 2 * (res - r))
 
 
 def _pip_refine_udf(edges: dict[str, np.ndarray], include_boundary: bool):
@@ -211,6 +268,7 @@ def spatial_join(
     strategy: str = "auto",          # auto | broadcast | shuffle
     salt_buckets: int = SALT_BUCKETS,
     salt_id_col: str | None = None,  # row-identity column for the salt hash
+    scheme: str = "z2",              # cell scheme: z2 (default) | s2
 ) -> DataFrame:
     """Inner-join ``points`` to the polygons they fall in; adds ``poly_id``.
 
@@ -228,13 +286,17 @@ def spatial_join(
     prepared = (
         polygons
         if isinstance(polygons, PreparedPolygons)
-        else prepare_polygons(polygons, res=res, max_cells=max_cells)
+        else prepare_polygons(polygons, res=res, max_cells=max_cells, scheme=scheme)
     )
     res = prepared.res
+    scheme = prepared.scheme
     spark = points.sparkSession
 
     if cell_col is None:
-        points = add_cell_column(points, res, lon, lat, out="__cell")
+        if scheme == "s2":
+            points = add_s2_cell_column(points, res, lon, lat, out="__cell")
+        else:
+            points = add_cell_column(points, res, lon, lat, out="__cell")
         cell_col = "__cell"
 
     nan = float("nan")
@@ -285,11 +347,7 @@ def spatial_join(
     ancs = [
         F.struct(
             F.lit(int(r)).cast("int").alias("cres"),
-            (
-                F.shiftrightunsigned(F.col(cell_col), 2 * (res - int(r)))
-                if r < res
-                else F.col(cell_col)
-            ).alias("anc"),
+            _ancestor_expr(cell_col, scheme, res, int(r)).alias("anc"),
         )
         for r in res_list
     ]

@@ -167,3 +167,42 @@ def test_salt_splits_exact_duplicate_points(spark):
         assert pids.nunique() >= 4, f"duplicate points in {pids.nunique()} partitions"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_join_parity_s2_scheme(spark, points_df, points_pdf, strategy):
+    """scheme="s2" (VERDICT r4 next-round #5): the spherical S2 curve wired
+    through the SAME cover/refine plan must produce the identical pair set
+    as the Z2 default and the brute-force oracle — including the polygon
+    set's antimeridian-adjacent band and concave shapes."""
+    res = spatial_join(
+        points_df, POLYS, strategy=strategy, scheme="s2"
+    ).select("image_id", "poly_id")
+    got = {(r.image_id, r.poly_id) for r in res.collect()}
+    expect = oracle_pairs(points_pdf)
+    assert got == expect
+    # no duplicates (S2 BFS covers are disjoint by construction too)
+    assert res.count() == len(got)
+
+
+def test_s2_cover_polar_polygon_sound(spark):
+    """A polar-cap polygon breaks a naive lon/lat quadtree assumption; the
+    S2 cover must stay complete there (every inside point's ancestor hits
+    a cover cell) — the scheme's raison d'etre."""
+    from geomesa_spark.core import s2
+
+    g = from_wkt("POLYGON ((-180 84, 180 84, 180 90, -180 90, -180 84))")
+    cov = s2.cover_geometry(g, 8)
+    covmap = {}
+    for lv, c in cov.contained + cov.overlapping:
+        covmap.setdefault(lv, set()).add(c)
+    rng = np.random.RandomState(9)
+    plon = rng.uniform(-180, 180, 2000)
+    plat = rng.uniform(84.01, 89.99, 2000)
+    leaf = s2.encode(plon, plat, 30)
+    for k in range(len(plon)):
+        hits = sum(
+            int(s2.parent(np.array([leaf[k]]), lv)[0]) in cs
+            for lv, cs in covmap.items()
+        )
+        assert hits == 1  # complete AND disjoint
