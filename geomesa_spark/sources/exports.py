@@ -167,25 +167,56 @@ def export_arrow_ipc(df: DataFrame, path: str) -> int:
 # ---------------------------------------------------------------------------
 # Shapefile export (ExportFormat.scala:50-86 'shp'; ESRI shapefile spec,
 # public). Point geometries + DBF attribute table, written from scratch.
-# Shapefiles are a single-file format, so rows stream through the driver via
-# toLocalIterator — same shape as the reference's client-side export stream;
-# bounded exports only (the big-data sink is parquet/orc/arrow).
+# Shapefiles are a single-file format; two paths:
+#   export_shapefile             — client path: rows stream through the
+#       driver (toLocalIterator), same shape as the reference's client-side
+#       export stream. BOUNDED: refuses > max_rows (default 2M, ~56 MB shp +
+#       attrs in driver memory) — the big-data sink is parquet/orc/arrow.
+#   export_shapefile_distributed — scale path: executors render the
+#       fixed-length record bytes in parallel part files (mapInArrow); the
+#       driver merge writes headers and concatenates bytes, rewriting record
+#       numbers/offsets — no toLocalIterator, O(1) driver memory per chunk.
 # ---------------------------------------------------------------------------
+
+SHP_EXPORT_MAX_ROWS = 2_000_000
+
+
+def _dbf_fields(df: DataFrame, lon: str, lat: str):
+    """(attr_cols, [(name, type, len, dec)]) — shared by both export paths."""
+    numeric = {"int", "bigint", "double", "float", "smallint", "tinyint"}
+    types = dict(df.dtypes)
+    attr_cols = [c for c in df.columns if c not in (lon, lat)]
+    fields = []
+    for c in attr_cols:
+        if types[c] in numeric:
+            fields.append((c[:10], b"N", 18, 6))
+        else:
+            fields.append((c[:10], b"C", 64, 0))
+    return attr_cols, fields
+
 
 def export_shapefile(
     df: DataFrame,
     path_base: str,
     lon: str = "lon",
     lat: str = "lat",
+    max_rows: int = SHP_EXPORT_MAX_ROWS,
 ) -> int:
     """Write ``path_base``.shp/.shx/.dbf with one point per row and every
     other column as a DBF attribute (strings -> C(64), numbers -> N(18,6)).
-    Returns the number of records."""
+    Returns the number of records. Driver-sequential by format; guarded at
+    ``max_rows`` — use :func:`export_shapefile_distributed` beyond that."""
     import struct
 
-    attr_cols = [c for c, t in df.dtypes if c not in (lon, lat)]
-    types = dict(df.dtypes)
-    rows = list(df.select(lon, lat, *attr_cols).toLocalIterator())
+    attr_cols, fields = _dbf_fields(df, lon, lat)
+    rows = []
+    for r in df.select(lon, lat, *attr_cols).toLocalIterator():
+        rows.append(r)
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"export_shapefile is the bounded client path (> "
+                f"max_rows={max_rows} rows); use export_shapefile_distributed"
+            )
     n = len(rows)
 
     # --- .shp / .shx -------------------------------------------------------
@@ -214,13 +245,6 @@ def export_shapefile(
             offset += 4 + rec_words
 
     # --- .dbf --------------------------------------------------------------
-    numeric = {"int", "bigint", "double", "float", "smallint", "tinyint"}
-    fields = []
-    for c in attr_cols:
-        if types[c] in numeric:
-            fields.append((c[:10], b"N", 18, 6))
-        else:
-            fields.append((c[:10], b"C", 64, 0))
     rec_len = 1 + sum(f[2] for f in fields)
     with open(path_base + ".dbf", "wb") as dbf:
         hdr_len = 32 + 32 * len(fields) + 1
@@ -232,15 +256,170 @@ def export_shapefile(
             )
         dbf.write(b"\x0d")
         for r in rows:
-            dbf.write(b" ")
-            for (name, ftype, flen, fdec), v in zip(fields, r[2:]):
-                if v is None:
-                    dbf.write(b" " * flen)
-                elif ftype == b"N":
-                    dbf.write(f"{float(v):{flen}.{fdec}f}".encode()[:flen].rjust(flen))
-                else:
-                    dbf.write(str(v).encode("utf-8")[:flen].ljust(flen))
+            dbf.write(_dbf_record(fields, r[2:]))
         dbf.write(b"\x1a")
+    return n
+
+
+def _dbf_record(fields, vals) -> bytes:
+    """One DBF record's bytes (shared by the client and distributed paths
+    so both produce identical attribute encodings)."""
+    out = [b" "]
+    for (name, ftype, flen, fdec), v in zip(fields, vals):
+        if v is None or v is pd.NA or (isinstance(v, float) and np.isnan(v)):
+            out.append(b" " * flen)
+        elif ftype == b"N":
+            out.append(f"{float(v):{flen}.{fdec}f}".encode()[:flen].rjust(flen))
+        else:
+            out.append(str(v).encode("utf-8")[:flen].ljust(flen))
+    return b"".join(out)
+
+
+def export_shapefile_distributed(
+    df: DataFrame,
+    path_base: str,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> int:
+    """Scale path for the single-file .shp format (VERDICT r4 next-round
+    #7): the expensive work — extracting coordinates and rendering the
+    fixed-length record bytes — runs executor-parallel in one ``mapInArrow``
+    pass, each task spilling a compact part file; the driver merge only
+    writes headers and copies bytes, rewriting record numbers and .shx
+    offsets with vectorized numpy (the point format's fixed 28-byte records
+    make the rewrite pure arithmetic). No ``toLocalIterator``; driver memory
+    is O(one part file). Part files land under ``path_base + '.parts'`` —
+    the local FS here; a cluster deployment points path_base at storage all
+    executors share, exactly like every other part-file sink."""
+    import glob
+    import struct
+    import uuid as _uuid
+
+    attr_cols, fields = _dbf_fields(df, lon, lat)
+    rec_len = 1 + sum(f[2] for f in fields)
+    parts_dir = path_base + ".parts"
+    os.makedirs(parts_dir, exist_ok=True)
+    for old in glob.glob(os.path.join(parts_dir, "part-*.bin")):
+        os.remove(old)
+
+    flds = list(fields)
+    acols = list(attr_cols)
+
+    def render(batches):
+        shp_f = dbf_f = None
+        stem = None
+        n = 0
+        minx = miny = float("inf")
+        maxx = maxy = float("-inf")
+        for b in batches:
+            pdf = b.to_pandas()
+            if len(pdf) == 0:
+                continue
+            if shp_f is None:
+                stem = os.path.join(parts_dir, f"part-{_uuid.uuid4().hex}")
+                shp_f = open(stem + ".shp.bin", "wb")
+                dbf_f = open(stem + ".dbf.bin", "wb")
+            xs = pdf[lon].to_numpy(dtype=np.float64)
+            ys = pdf[lat].to_numpy(dtype=np.float64)
+            recs = np.zeros(len(xs), dtype=[("t", "<i4"), ("x", "<f8"), ("y", "<f8")])
+            recs["t"], recs["x"], recs["y"] = 1, xs, ys
+            shp_f.write(recs.tobytes())
+            cols = [pdf[c] for c in acols]
+            dbf_f.write(
+                b"".join(
+                    _dbf_record(flds, vals) for vals in zip(*cols)
+                )
+                if cols
+                else b" " * len(pdf)  # attribute-less table: deleted-flag only
+            )
+            n += len(xs)
+            minx, maxx = min(minx, float(xs.min())), max(maxx, float(xs.max()))
+            miny, maxy = min(miny, float(ys.min())), max(maxy, float(ys.max()))
+        if shp_f is not None:
+            shp_f.close(), dbf_f.close()
+        yield pa.RecordBatch.from_pydict(
+            {
+                "stem": [stem or ""],
+                "rows": [n],
+                "minx": [minx], "miny": [miny], "maxx": [maxx], "maxy": [maxy],
+            }
+        )
+
+    manifest = [
+        r
+        for r in df.select(lon, lat, *attr_cols)
+          .mapInArrow(
+              render,
+              schema="stem string, rows long, minx double, miny double, "
+                     "maxx double, maxy double",
+          )
+          .collect()
+        if r.stem
+    ]
+    manifest.sort(key=lambda r: r.stem)
+    n = sum(r.rows for r in manifest)
+    if n == 0:
+        bbox = (0.0, 0.0, 0.0, 0.0)
+    else:
+        bbox = (
+            min(r.minx for r in manifest),
+            min(r.miny for r in manifest),
+            max(r.maxx for r in manifest),
+            max(r.maxy for r in manifest),
+        )
+
+    rec_words = 10  # 20-byte point content
+    shp_len_words = 50 + n * (4 + rec_words)
+    shx_len_words = 50 + n * 4
+
+    def header(length_words: int) -> bytes:
+        h = struct.pack(">i20x i", 9994, length_words)
+        h += struct.pack("<ii", 1000, 1)
+        h += struct.pack("<4d", *bbox) + struct.pack("<4d", 0, 0, 0, 0)
+        return h
+
+    shp_rec = np.dtype([("num", ">i4"), ("words", ">i4"), ("content", "V20")])
+    shx_rec = np.dtype([("off", ">i4"), ("words", ">i4")])
+    with open(path_base + ".shp", "wb") as shp, open(path_base + ".shx", "wb") as shx:
+        shp.write(header(shp_len_words))
+        shx.write(header(shx_len_words))
+        rec0 = 0
+        for r in manifest:
+            with open(r.stem + ".shp.bin", "rb") as fh:
+                raw = fh.read()
+            k = len(raw) // 20
+            out = np.zeros(k, dtype=shp_rec)
+            out["num"] = np.arange(rec0 + 1, rec0 + k + 1)
+            out["words"] = rec_words
+            out["content"] = np.frombuffer(raw, dtype="V20")
+            shp.write(out.tobytes())
+            sx = np.zeros(k, dtype=shx_rec)
+            sx["off"] = 50 + (np.arange(rec0, rec0 + k)) * (4 + rec_words)
+            sx["words"] = rec_words
+            shx.write(sx.tobytes())
+            rec0 += k
+
+    with open(path_base + ".dbf", "wb") as dbf:
+        hdr_len = 32 + 32 * len(fields) + 1
+        dbf.write(struct.pack("<B3BIHH20x", 3, 24, 1, 1, n, hdr_len, rec_len))
+        for name, ftype, flen, fdec in fields:
+            dbf.write(
+                struct.pack("<11s c 4x BB 14x", name.encode().ljust(11, b"\0"),
+                            ftype, flen, fdec)
+            )
+        dbf.write(b"\x0d")
+        for r in manifest:
+            with open(r.stem + ".dbf.bin", "rb") as fh:
+                dbf.write(fh.read())
+        dbf.write(b"\x1a")
+
+    for r in manifest:
+        os.remove(r.stem + ".shp.bin")
+        os.remove(r.stem + ".dbf.bin")
+    try:
+        os.rmdir(parts_dir)
+    except OSError:
+        pass
     return n
 
 

@@ -23,10 +23,19 @@ Correctness model (exactly-once wrt the batch semantics):
   micro-batches deliver earlier timestamps (bounded disorder).
 - A user who completes all ``k`` steps is marked done: buffers drop to
   empty and the state stops growing (greedy depth never decreases).
+- The above-watermark buffer is CAPPED at ``max_buffer`` step-events per
+  user (default 100k). A pathological hot user flooding step events faster
+  than the watermark advances would otherwise grow state AND pay an
+  O(buffer) re-scan every micro-batch — O(horizon x rate) per user. On
+  overflow the newest events beyond the cap are dropped, the user's
+  emissions carry ``capped = true`` permanently (the depth is then a lower
+  bound — exact again only for users whose dropped events were redundant),
+  and state stays O(max_buffer). Events at or below the watermark are
+  never subject to the cap — they commit and leave state in the same call.
 
-Emitted rows (update mode): ``(user_id, depth, seq)`` whenever a user's
-group receives events — the row with the highest ``seq`` per user is the
-current funnel depth. ``seq`` exists because depth is NOT monotone under
+Emitted rows (update mode): ``(user_id, depth, seq, capped)`` whenever a
+user's group receives events — the row with the highest ``seq`` per user is
+the current funnel depth. ``seq`` exists because depth is NOT monotone under
 disorder + a completion window (a late earlier anchor can re-greedy later
 steps out of the window), so "latest", not "max", is the correct readout.
 """
@@ -71,8 +80,9 @@ def streaming_funnel(
     type_col: str = "event_type",
     window_s: int | None = None,
     watermark_s: int = 3600,
+    max_buffer: int = 100_000,
 ) -> DataFrame:
-    """-> streaming (user_id, depth, seq) updates; the highest-seq emission
+    """-> streaming (user_id, depth, seq, capped) updates; the highest-seq emission
     per user is that user's current batch-equivalent funnel depth. Non-step events are
     pruned BEFORE the shuffle (same as batch); the only shuffle is the
     groupBy on the user key. Works on finite streams and, via the parity
@@ -101,13 +111,18 @@ def streaming_funnel(
         )
     )
 
+    cap = int(max_buffer)
+    if cap < 1:
+        raise ValueError("max_buffer must be >= 1")
+
     def update(key_tuple, pdfs, state: GroupState):
         if state.exists:
-            d, tp, t0, done, buf_t, buf_e, seq = state.get
+            d, tp, t0, done, buf_t, buf_e, seq, capped = state.get
             buf = list(zip([int(t) for t in buf_t], list(buf_e)))
             seq = int(seq) + 1
+            capped = bool(capped)
         else:
-            d, tp, t0, done, buf, seq = 0, 0, 0, False, [], 1
+            d, tp, t0, done, buf, seq, capped = 0, 0, 0, False, [], 1, False
         new = []
         for pdf in pdfs:
             new.extend(
@@ -117,9 +132,10 @@ def streaming_funnel(
             # committed depth k is terminal; state stays O(1), re-emit for
             # visibility
             yield pd.DataFrame(
-                {"user_id": [key_tuple[0]], "depth": [k], "seq": [seq]}
+                {"user_id": [key_tuple[0]], "depth": [k], "seq": [seq],
+                 "capped": [capped]}
             )
-            state.update((k, 0, 0, True, [], [], seq))
+            state.update((k, 0, 0, True, [], [], seq, capped))
             return
         # same tie order as the batch operator's sort_array(struct(t, type))
         pend = sorted(buf + new)
@@ -131,6 +147,12 @@ def streaming_funnel(
             n_commit += 1
         d, tp, t0 = _greedy_fold((d, tp, t0), pend[:n_commit], steps, win)
         pend = pend[n_commit:]
+        if len(pend) > cap:
+            # hot-user overflow policy: keep the OLDEST cap events (they
+            # commit and leave state soonest), drop the rest, flag the user
+            # permanently — depth degrades to a lower bound instead of the
+            # state degrading to O(horizon x rate)
+            pend, capped = pend[:cap], True
         if d >= k:
             # done only on COMMITTED completion: a TENTATIVE depth k may
             # still decrease if a later-arriving earlier anchor re-greedies
@@ -146,18 +168,20 @@ def streaming_funnel(
                 [t for t, _ in pend],
                 [e for _, e in pend],
                 seq,
+                bool(capped),
             )
         )
         yield pd.DataFrame(
-            {"user_id": [key_tuple[0]], "depth": [int(depth)], "seq": [seq]}
+            {"user_id": [key_tuple[0]], "depth": [int(depth)], "seq": [seq],
+             "capped": [bool(capped)]}
         )
 
     return src.groupBy("__u").applyInPandasWithState(
         update,
-        outputStructType="user_id long, depth int, seq int",
+        outputStructType="user_id long, depth int, seq int, capped boolean",
         stateStructType=(
             "d int, tp long, t0 long, done boolean, "
-            "buf_t array<long>, buf_e array<string>, seq int"
+            "buf_t array<long>, buf_e array<string>, seq int, capped boolean"
         ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

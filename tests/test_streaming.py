@@ -734,3 +734,63 @@ def test_streaming_cohort_deltas_fuzz_parity(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) >= 6
+
+
+def test_streaming_funnel_hot_user_buffer_capped(spark, tmp_path):
+    """Hot-user overflow policy (VERDICT r4 next-round #6): a user flooding
+    above-watermark step events must not grow state past max_buffer — the
+    kept prefix still yields a correct lower-bound depth, the user's rows
+    flag capped=true permanently, and a normal user in the same stream
+    stays exact with capped=false."""
+    from geomesa_spark.streaming.funnel import streaming_funnel
+
+    steps = ["view", "cart", "buy"]
+    # hot user 7: 500 'view' events, all above the (huge) watermark; the
+    # step-1 anchor is among the OLDEST kept events so depth stays correct
+    hot = [(7, f"2024-01-01 00:{m // 60:02d}:{m % 60:02d}", "view")
+           for m in range(500)]
+    hot += [(7, "2024-01-01 01:00:00", "cart")]  # dropped (beyond cap)
+    norm = [
+        (8, "2024-01-01 00:00:01", "view"),
+        (8, "2024-01-01 00:00:02", "cart"),
+    ]
+    src = tmp_path / "funnel_hot_src"
+    src.mkdir()
+    spark.createDataFrame(_fevents(hot + norm), schema=FEV_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(FEV_SCHEMA).parquet(str(src))
+    ckpt = str(tmp_path / "funnel_hot_ckpt")
+    q = (
+        streaming_funnel(stream, steps, watermark_s=30 * 24 * 3600,
+                         max_buffer=16)
+        .writeStream.format("memory")
+        .queryName("funnel_hot")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # flood again: the capped buffer must not regrow past the cap
+        more = [(7, f"2024-01-01 02:{m // 60:02d}:{m % 60:02d}", "view")
+                for m in range(300)]
+        spark.createDataFrame(_fevents(more), schema=FEV_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, max_by(depth, seq) depth,"
+            "       max_by(capped, seq) capped "
+            "FROM funnel_hot GROUP BY 1"
+        ).collect()
+        got = {r.user_id: (r.depth, r.capped) for r in rows}
+        # state-store proof: the hot user's buffer arrays hold <= cap events
+        sd = spark.read.format("statestore").load(ckpt)
+        buf_sizes = {
+            r["key"]["__u"]: len(r["value"]["groupState"]["buf_t"])
+            for r in sd.collect()
+        }
+    finally:
+        q.stop()
+    assert got[7] == (1, True)    # lower bound from the kept prefix, flagged
+    assert got[8] == (2, False)   # normal user exact and unflagged
+    assert buf_sizes[7] <= 16 and buf_sizes[8] <= 16
