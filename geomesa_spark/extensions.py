@@ -196,6 +196,42 @@ def _bbox_struct_udf():
     return geom_bbox
 
 
+def with_point_cell_column(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    res: int = 8,
+    name: str = "p_cell",
+) -> DataFrame:
+    """Writer-side step for point tables: materialize the Z2 cell of
+    (lon, lat) at ``res`` as a LongType column — the layout key the JVM
+    rule's cell-IN-list injection prunes against (reference: the Z2 index
+    write key, geomesa-index-api Z2IndexKeySpace). Native codegen expression
+    (core.cells.cell_sql_expr), zero Python at write OR read time. Pair with
+    ``.write.partitionBy(name)`` so the injected IN list becomes a
+    PartitionFilter (directory pruning), and activate with
+    :func:`cell_pruning_conf`."""
+    from .core import cells
+
+    return df.withColumn(name, F.expr(cells.cell_sql_expr(lon, lat, res)))
+
+
+def cell_pruning_conf(
+    column: str = "p_cell", res: int = 8, max_cells: int = 2048
+) -> dict:
+    """Session confs activating the JVM rule's cell-IN-list injection.
+    Runtime confs (settable via ``spark.conf.set`` or passed to
+    :func:`extended_session`). CONTRACT: ``column`` must equal
+    ``core.cells.encode(lon, lat, res)`` of the coordinate columns the
+    spatial UDFs receive — :func:`with_point_cell_column` writes exactly
+    that. Same trust class as the ``{geom}_xmin`` bbox-column contract."""
+    return {
+        "spark.geomesaspark.cell.column": column,
+        "spark.geomesaspark.cell.res": str(int(res)),
+        "spark.geomesaspark.cell.maxCells": str(int(max_cells)),
+    }
+
+
 def register_st_intersects_wkb(spark: SparkSession):
     """Register the exact geometry-column refine UDF the JVM rule
     recognizes: st_intersects_wkb(geom_wkb, wkt) -> boolean — full DE-9IM

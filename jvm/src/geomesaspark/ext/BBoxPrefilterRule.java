@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.AttributeReference;
 import org.apache.spark.sql.catalyst.expressions.Cast;
 import org.apache.spark.sql.catalyst.expressions.Expression;
 import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual;
+import org.apache.spark.sql.catalyst.expressions.In;
 import org.apache.spark.sql.catalyst.expressions.LessThanOrEqual;
 import org.apache.spark.sql.catalyst.expressions.Literal;
 import org.apache.spark.sql.catalyst.expressions.PythonUDF;
@@ -56,6 +57,14 @@ import org.apache.spark.sql.types.DataTypes;
  * engine's DataFrame API builds explicitly (operators/spatial_join.py),
  * here recovered automatically from a user's plain spark.sql(...) query.
  *
+ * Cell injection (the reference's index-range-scan analog,
+ * SQLRules.scala:216-254): when the session confs
+ * spark.geomesaspark.cell.{column,res} are set (see CELL_COL_KEY), the
+ * point UDFs additionally gain `cellCol IN (<Z2 cells covering the query
+ * box>)` — on a table partitioned by that column (sources/storage.py
+ * CompositeScheme) Catalyst turns the conjunct into a PartitionFilter,
+ * pruning whole directories where bbox ranges alone only prune row groups.
+ *
  * Idempotence (the rule runs in a fixed-point batch): injection is skipped
  * when semantically-equal conjuncts already exist in this Filter OR in any
  * descendant Filter — after PushDownPredicates splits the rewritten Filter,
@@ -83,6 +92,23 @@ public class BBoxPrefilterRule extends Rule<LogicalPlan> {
    *  (buffer_point_deg) so the injected box matches the Python planner's
    *  prefilter exactly. */
   static final double EARTH_RADIUS_M = 6371008.8;
+
+  /** Session confs activating cell-IN-list injection (the index-range-scan
+   *  analog of the reference's relation replacement, SQLRules.scala:216-254):
+   *  when `.column` names a LongType attribute in the Filter child's output
+   *  and `.res` gives its Z2 resolution, point UDFs additionally gain
+   *  `cellCol IN (<cells covering the query bbox>)`. On a table
+   *  partitioned by that column (sources/storage.py CompositeScheme) the
+   *  conjunct becomes a PartitionFilter — directory-level pruning the bbox
+   *  ranges alone cannot give. CONTRACT (asserted by setting the confs,
+   *  same trust class as the {geom}_xmin bbox-column contract): the named
+   *  column equals core.cells.encode(lon, lat, res) of the coordinate
+   *  columns the spatial UDFs receive; geomesa_spark.extensions.
+   *  with_point_cell_column writes exactly that. As a structural guard the
+   *  rule only injects when the UDF's lon/lat are BARE column references. */
+  static final String CELL_COL_KEY = "spark.geomesaspark.cell.column";
+  static final String CELL_RES_KEY = "spark.geomesaspark.cell.res";
+  static final String CELL_MAX_KEY = "spark.geomesaspark.cell.maxCells";
 
   private static final Pattern NUM =
       Pattern.compile("[-+]?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?");
@@ -117,7 +143,7 @@ public class BBoxPrefilterRule extends Rule<LogicalPlan> {
       for (PythonUDF udf : udfs) {
         Expression[] ranges = udf.name().equals(INTERSECTS_NAME)
             ? intersectsConjuncts(udf, f)
-            : pointConjuncts(udf);
+            : pointConjuncts(udf, f);
         if (ranges == null) {
           continue;
         }
@@ -144,7 +170,7 @@ public class BBoxPrefilterRule extends Rule<LogicalPlan> {
    *  DUPLICATED into the conjuncts, so injection requires them
    *  deterministic — Catalyst's own pushdown guard: a non-deterministic
    *  coordinate would evaluate differently in the conjunct vs the UDF. */
-  private static Expression[] pointConjuncts(PythonUDF udf) {
+  private Expression[] pointConjuncts(PythonUDF udf, Filter f) {
     double[] bbox = udf.name().equals(DWITHIN_NAME)
         ? dwithinBBox(udf)
         : wktBBox(udf);
@@ -156,12 +182,114 @@ public class BBoxPrefilterRule extends Rule<LogicalPlan> {
     if (!lon.deterministic() || !lat.deterministic()) {
       return null;
     }
-    return new Expression[] {
-      new GreaterThanOrEqual(lon, lit(bbox[0])),
-      new LessThanOrEqual(lon, lit(bbox[1])),
-      new GreaterThanOrEqual(lat, lit(bbox[2])),
-      new LessThanOrEqual(lat, lit(bbox[3])),
-    };
+    List<Expression> out = new ArrayList<>();
+    out.add(new GreaterThanOrEqual(lon, lit(bbox[0])));
+    out.add(new LessThanOrEqual(lon, lit(bbox[1])));
+    out.add(new GreaterThanOrEqual(lat, lit(bbox[2])));
+    out.add(new LessThanOrEqual(lat, lit(bbox[3])));
+    Expression cellIn = cellConjunct(udf, f, bbox);
+    if (cellIn != null) {
+      out.add(cellIn);
+    }
+    return out.toArray(new Expression[0]);
+  }
+
+  /** `cellCol IN (<level-res Z2 cells covering bbox>)` when the session
+   *  confs are set, the column resolves as a LongType attribute of the
+   *  Filter child, and the UDF's lon/lat are bare column references (the
+   *  cell-column contract is per-table, so derived coordinate expressions
+   *  disqualify). The cover is every grid cell whose lon/lat bin range
+   *  overlaps the query box under core.cells.xy_of's exact floor+clamp
+   *  binning, so membership is a NECESSARY condition of the bbox (and hence
+   *  of the exact predicate). Null when the cover exceeds `.maxCells` —
+   *  a too-coarse cap costs nothing (the bbox ranges still inject). */
+  private Expression cellConjunct(PythonUDF udf, Filter f, double[] bbox) {
+    String col = conf().getConfString(CELL_COL_KEY, "");
+    if (col.isEmpty()) {
+      return null;
+    }
+    int res;
+    long maxCells;
+    try {
+      res = Integer.parseInt(conf().getConfString(CELL_RES_KEY, ""));
+      maxCells = Long.parseLong(conf().getConfString(CELL_MAX_KEY, "2048"));
+    } catch (NumberFormatException nfe) {
+      return null;
+    }
+    if (res < 0 || res > 30
+        || !(udf.children().apply(0) instanceof AttributeReference)
+        || !(udf.children().apply(1) instanceof AttributeReference)) {
+      return null;
+    }
+    // IntegerType too: hive-style partition discovery infers int for a
+    // partitionBy(cell) directory column whose values fit — the exact
+    // layout this injection exists to prune
+    Attribute cell = null;
+    scala.collection.Iterator<Attribute> it = f.child().output().iterator();
+    while (it.hasNext()) {
+      Attribute a = it.next();
+      if (a.name().equalsIgnoreCase(col)
+          && (a.dataType() == DataTypes.LongType
+              || a.dataType() == DataTypes.IntegerType)) {
+        cell = a;
+      }
+    }
+    if (cell == null) {
+      return null;
+    }
+    long n = 1L << res;
+    long ix0 = gridBin(bbox[0], -180.0, 360.0, n, false);
+    long ix1 = gridBin(bbox[1], -180.0, 360.0, n, true);
+    long iy0 = gridBin(bbox[2], -90.0, 180.0, n, false);
+    long iy1 = gridBin(bbox[3], -90.0, 180.0, n, true);
+    if ((ix1 - ix0 + 1) * (iy1 - iy0 + 1) > maxCells) {
+      return null;
+    }
+    boolean isInt = cell.dataType() == DataTypes.IntegerType;
+    List<Expression> lits = new ArrayList<>();
+    for (long x = ix0; x <= ix1; x++) {
+      for (long y = iy0; y <= iy1; y++) {
+        long v = spread(x) | (spread(y) << 1);
+        if (isInt && v > Integer.MAX_VALUE) {
+          continue;  // an int column cannot hold this cell: no row matches
+        }
+        lits.add(isInt
+            ? new Literal((int) v, DataTypes.IntegerType)
+            : new Literal(v, DataTypes.LongType));
+      }
+    }
+    if (lits.isEmpty()) {
+      return null;
+    }
+    return new In(
+        cell, scala.jdk.javaapi.CollectionConverters.asScala(lits).toSeq());
+  }
+
+  /** Conservative bin of a query-box corner, clamped into [0, n-1]
+   *  (BitNormalizedDimension, reference NormalizedDimension.scala:56-72).
+   *  The engine has two bit-compatible-in-spirit but IEEE-distinct writers:
+   *  cells.cell_sql_expr computes floor((v - min) * n / extent) and
+   *  cells.xy_of computes floor((v - min) / extent * n) — the two orders can
+   *  disagree by one ulp-driven bin at cell boundaries. The cover corner
+   *  takes the outer (min for low / max for high) of BOTH orders, so the
+   *  IN list is a necessary condition under either writer. */
+  private static long gridBin(
+      double v, double min, double extent, long n, boolean high) {
+    long a = (long) Math.floor((v - min) * n / extent);
+    long b = (long) Math.floor((v - min) / extent * n);
+    long i = high ? Math.max(a, b) : Math.min(a, b);
+    return Math.min(Math.max(i, 0L), n - 1L);
+  }
+
+  /** Morton spread of the low 30 bits onto even positions —
+   *  core.cells._spread's masks exactly. */
+  private static long spread(long v) {
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL;
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL;
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL;
+    v = (v | (v << 2)) & 0x3333333333333333L;
+    v = (v | (v << 1)) & 0x5555555555555555L;
+    return v;
   }
 
   /** Bbox-overlap conjuncts for st_intersects_wkb(geomCol, 'WKT') over a

@@ -133,6 +133,39 @@ nd = spark.sql(
 ndopt = nd._jdf.queryExecution().optimizedPlan().toString()
 print("MARK nondet_untouched", int(">= 139.5" not in ndopt
                                    and "<= 35.9" not in ndopt))
+
+# fifth family, same JVM: cell-IN-list injection -> PartitionFilters on the
+# CompositeScheme p_cell layout (the reference's index-range-scan analog,
+# SQLRules.scala:216-254). The table is partitioned by the coarse Z2 cell;
+# with the cell confs set, the SAME plain SQL additionally gains a p_cell
+# membership conjunct that Catalyst applies at file-listing time —
+# directory-level pruning the lon/lat bbox ranges can never give.
+import re
+from geomesa_spark.extensions import with_point_cell_column, cell_pruning_conf
+from geomesa_spark.core import cells as _cells
+
+ppath = "/tmp/ext_cell_tbl.parquet"
+(with_point_cell_column(df, "lon", "lat", res=6)
+    .write.mode("overwrite").partitionBy("p_cell").parquet(ppath))
+pt = spark.read.parquet(ppath)
+nparts_all = pt.select("p_cell").distinct().count()
+for k, v in cell_pruning_conf("p_cell", 6).items():
+    spark.conf.set(k, v)
+pc = where_pip_sql(spark, pt, "lon", "lat", %(wkt)r)
+pcphys = pc._jdf.queryExecution().executedPlan().toString()
+print("MARK cell_rows", pc.count())
+mpf = re.search(r"PartitionFilters: \[([^\]]*)\]", pcphys)
+pf = mpf.group(1) if mpf else ""
+qcell = int(_cells.encode([139.7], [35.65], 6)[0])  # box fits one res-6 cell
+print("MARK cell_pf_on_cell", int("p_cell" in pf and str(qcell) in pf))
+print("MARK cell_prunes", int(nparts_all > 1))  # >1 dirs existed to prune
+# conf off -> same SQL, PartitionFilters empty again (injection is gated)
+spark.conf.unset("spark.geomesaspark.cell.column")
+pc2 = where_pip_sql(spark, pt, "lon", "lat", %(wkt)r)
+pc2phys = pc2._jdf.queryExecution().executedPlan().toString()
+m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", pc2phys)
+print("MARK cell_gated", int(m2 is not None and "p_cell" not in m2.group(1)))
+print("MARK cell_rows_gated", pc2.count())
 '''
 
 
@@ -177,6 +210,14 @@ def test_jvm_rule_injects_bbox_and_pushes_down():
     # negative controls: exact-name matching + determinism guard
     assert int(marks["custom_untouched"]) == 1, marks
     assert int(marks["nondet_untouched"]) == 1, marks
+    # cell-IN-list family: correct rows, the query cell reached the scan's
+    # PartitionFilters (directory pruning), multiple dirs existed to prune,
+    # and unsetting the conf gates the injection off without changing rows
+    assert int(marks["cell_rows"]) == int(marks["truth"]), marks
+    assert int(marks["cell_pf_on_cell"]) == 1, marks
+    assert int(marks["cell_prunes"]) == 1, marks
+    assert int(marks["cell_gated"]) == 1, marks
+    assert int(marks["cell_rows_gated"]) == int(marks["truth"]), marks
     # fixed-point batch converged without the rule oscillating
     assert "Max iterations" not in res.stderr
 
