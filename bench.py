@@ -767,6 +767,19 @@ def run_scaling(n_images: int = 1_200_000,
             "  rewrite), geo_where_geom, and the geom_skew three-arm section\n"
             "  (candidate-stage timings + skew-split plan marker + one\n"
             "  default-confs full join). Same growth caveat applies.\n"
+            "- Round 5 (VERDICT r4 #4): the bench JSON now emits\n"
+            "  ``queries_control_units`` — per-query seconds divided by that\n"
+            "  run's ``control_sec`` — next to the raw seconds. Cross-round\n"
+            "  per-query comparisons should read the control-units map, not\n"
+            "  raw seconds: r4's minhash \"halving\" (10.65 -> 5.05 s) was host\n"
+            "  drift (control 2.059 -> 1.34), not engine work. Attribution\n"
+            "  discipline: credit a delta to the engine only when (a) the\n"
+            "  control-units number moves AND (b) a commit touches that\n"
+            "  query's path. Sub-second entries remain fixed-overhead-\n"
+            "  dominated and are not comparable in either unit.\n"
+            "- Round 5 also added geo_pip_s2 (S2 scheme arm of the PIP join)\n"
+            "  and the span_skew hot-vs-spread arms to the bench list;\n"
+            "  same growth caveat.\n"
             "\n## Minhash witness (round 4, measured once)\n\n"
             "VERDICT r3 #8 asked for an r2-same-config minhash timing beside\n"
             "the banded entry. Finding: no r2 BENCH artifact contains a\n"

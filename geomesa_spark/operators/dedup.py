@@ -239,18 +239,22 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    # Persist the bucket rows (id + band + 64-bit band hash, ~24 B/row)
+    # Materialize the bucket rows (id + band + 64-bit band hash, ~24 B/row)
     # across the self-join: without it BOTH join sides re-evaluate the
     # signature UDF — the dominant stage — doubling the text decode+hash
     # work (measured 15.7 s -> 10.2 s cold at sf0.1). This is the standard
     # signature materialization of production dedup pipelines: bucket rows
     # are `bands` short rows per doc (same order of bytes as the text
-    # itself), MEMORY_AND_DISK-spillable, and part of the returned lineage
-    # (so they cannot be unpersisted here; they age out LRU / at session
-    # end, same contract as knn_join_table's per-round persists).
+    # itself). localCheckpoint (eager) instead of persist: the frame is
+    # part of the returned lineage so it could never be unpersisted here —
+    # a bare persist leaks its blocks for the session lifetime, while
+    # checkpointed blocks are freed by the ContextCleaner once the result
+    # frames are garbage collected (knn.py:166 / retrieval.py hygiene).
     buckets = with_sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")).persist()
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    ).localCheckpoint(eager=True)
 
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -363,19 +367,27 @@ def winnow_overlap_pairs(
     from ..functions.text import winnow_fingerprints_udf
 
     wf = winnow_fingerprints_udf(kgram, window)
+    # localCheckpoint (eager) instead of persist for both shared frames:
+    # they are part of the returned lineage (never unpersistable here), and
+    # a bare persist leaks blocks for the session lifetime — checkpointed
+    # blocks are freed by the ContextCleaner when the result frames are
+    # garbage collected (knn.py:166 / retrieval.py hygiene).
     fps = (
         _split_small_input(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.explode(wf(F.col(text_col))).alias("fp"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     hot = fps.groupBy("fp").agg(F.count("*").alias("__df")).filter(
         F.col("__df") > max_df
     )
     # the guarded frame feeds THREE consumers (both self-join sides + the
-    # per-doc sizes aggregate) — persist it too, or each consumer re-runs
-    # the doc-frequency aggregate and the anti-join over the full fp frame
-    exf = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti").persist()
+    # per-doc sizes aggregate) — materialize it too, or each consumer
+    # re-runs the doc-frequency aggregate and the anti-join over the full
+    # fp frame
+    exf = fps.join(
+        F.broadcast(hot.select("fp")), "fp", "left_anti"
+    ).localCheckpoint(eager=True)
 
     sizes = exf.groupBy(id_col).agg(F.count("*").alias("__nfp"))
     l, r = exf.alias("l"), exf.alias("r")
