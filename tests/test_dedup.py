@@ -545,3 +545,54 @@ def test_dup_span_stats_hashed_plan_is_aggregate_not_window(spark):
     # correctness on the hot fixture: every doc shares the boilerplate head
     rows = {r["doc_id"]: r["dup_chars"] for r in out.collect()}
     assert len(rows) == 64 and all(v > 0 for v in rows.values())
+
+
+def test_dedup_no_net_persisted_block_growth(spark, docs_pdf):
+    """Repeated minhash / winnow calls must not accumulate persisted
+    blocks: their shared frames (minhash bucket rows; winnow fingerprint
+    + df-guarded frames) are part of the returned lineage, so a bare
+    .persist() could never be unpersisted and leaked blocks for the
+    session lifetime (ADVICE r4 defect class, fixed in knn/bm25 first).
+    localCheckpoint(eager=True) keeps the single-materialization property
+    while the ContextCleaner frees superseded blocks once the result
+    frames are garbage collected."""
+    import gc
+    import time
+
+    from geomesa_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        winnow_overlap_pairs,
+    )
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    df = spark.createDataFrame(docs_pdf)
+
+    def run():
+        minhash_lsh_pairs(
+            df, num_hashes=64, bands=16, jaccard_threshold=0.5
+        ).count()
+        winnow_overlap_pairs(df, kgram=5, window=4, min_shared=2).count()
+
+    run()  # warm: codegen + the steady-state set of checkpoint blocks
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+    baseline = n_persistent()
+    for _ in range(3):
+        run()
+    # the LAST call's checkpointed frames legitimately linger until
+    # superseded; the regression target is LINEAR growth per call
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if n_persistent() <= baseline:
+            break
+        time.sleep(1)
+    grown = n_persistent() - baseline
+    assert grown <= 3, (
+        f"persisted RDDs grew by {grown} over 3 call rounds "
+        f"(baseline={baseline}, now={n_persistent()})"
+    )
