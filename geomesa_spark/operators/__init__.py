@@ -42,4 +42,7 @@ from .similarity import (  # noqa: F401
     ivf_topk,
     ivf_topk_native,
     lsh_topk,
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
 )
