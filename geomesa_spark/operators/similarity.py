@@ -1,7 +1,7 @@
 """Approximate-nearest-neighbor search over embedding columns.
 
 Training-data-pipeline operator (no GeoMesa analog; the kNN ring-expansion
-pattern of knn.py is its spatial cousin). Two paths:
+pattern of knn.py is its spatial cousin). Paths, in increasing scale:
 
 - brute_force_topk: exact cosine top-k. The dot products run JVM-side via
   zip_with/aggregate on the embedding arrays — no Python — so the only cost
@@ -11,6 +11,14 @@ pattern of knn.py is its spatial cousin). Two paths:
   neighbors), so each query scores only its bucket's vectors. Recall is
   tunable by (n_planes, n_tables); exactness is NOT guaranteed — the bench
   compares it against brute force for recall.
+- ivf_topk / ivf_topk_native: data-adaptive routing — each vector joins its
+  nearest coarse-centroid list; queries probe n_probe lists and exact-rerank
+  only those candidates.
+- train_pq_codebooks / pq_encode / pq_topk: IVF-PQ (Jegou et al. 2011), the
+  100-TB layout — candidates are scored from m-byte product-quantization
+  codes via broadcast lookup tables, so neither the candidate shuffle nor
+  the scoring stage ever touches a raw vector; exact cosine returns only
+  for the Q x rerank survivors.
 """
 
 from __future__ import annotations
@@ -374,6 +382,12 @@ def ivf_topk(
     )
 
 
+# beyond this many queries, pq_topk's per-query ADC lookup tables would
+# exceed ~32 MB of broadcast (1024 x m=16 x ksub=256 x 8 B) — degrade to
+# carrying the query vector per candidate row instead
+MAX_ADC_LUT_QUERIES = 1024
+
+
 def train_pq_codebooks(
     vectors: DataFrame,
     dim: int,
@@ -471,6 +485,7 @@ def pq_topk(
     qvec_col: str = "qvec",
     codebooks: np.ndarray | None = None,
     centroids: np.ndarray | None = None,
+    adc_by_lut: bool = True,
 ) -> DataFrame:
     """IVF-PQ approximate cosine top-k: -> (qid, vec_id, sim, rnk).
 
@@ -496,6 +511,16 @@ def pq_topk(
          Q x rerank rows broadcast) for exact cosine, then top-k. With
          ``rerank=0`` the ADC estimate itself ranks (sim is then the
          PQ approximation, monotone in reconstruction quality).
+
+    ``adc_by_lut`` (default): the per-query (m x ksub) dot-product
+    lookup tables are precomputed driver-side (queries are already
+    required to be broadcast-small) and shipped ONCE per executor as a
+    Spark broadcast, so the ADC stage's Arrow transfer is (qid, m-byte
+    code) per candidate — ~24 B/row instead of carrying the dim x 4-byte
+    query vector alongside every candidate (~280 B/row at dim=64). The
+    two formulations compute the identical score (parity-tested); the
+    LUT path silently degrades to the vector-carrying path beyond
+    ``MAX_ADC_LUT_QUERIES`` (LUT broadcast would exceed ~32 MB).
     """
     books = (
         codebooks
@@ -529,24 +554,67 @@ def pq_topk(
     )
     probes = queries.withColumn("__probe", F.explode(probe_udf(F.col(qvec_col))))
 
-    @F.pandas_udf("double")
-    def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
-        Q = np.array(qvs.tolist(), dtype=np.float64)
-        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-        C = np.frombuffer(b"".join(codes.tolist()), dtype=np.uint8).reshape(
-            len(codes), m_
+    use_lut = adc_by_lut
+    if use_lut:
+        qrows = (
+            queries.select(qid_col, qvec_col)
+            .limit(MAX_ADC_LUT_QUERIES + 1)
+            .collect()
         )
-        # gather each row's m codebook entries -> (B, m, dsub), dot
-        # against the matching query subvectors in one einsum
-        rec = books[np.arange(m_)[None, :], C]  # (B, m, dsub)
-        return pd.Series(np.einsum("bmd,bmd->b", rec, Q.reshape(len(Q), m_, dsub)))
+        if len(qrows) > MAX_ADC_LUT_QUERIES:
+            use_lut = False  # degrade: carry qvec per candidate instead
+        else:
+            qn = np.array([r[1] for r in qrows], dtype=np.float64)
+            qn /= np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
+            # LUT[q, j, c] = codebook[j, c] . q's j-th subvector
+            luts = np.einsum("jcd,qjd->qjc", books, qn.reshape(len(qn), m_, dsub))
+            qid_to_idx = {r[0]: i for i, r in enumerate(qrows)}
+            lut_bc = vectors.sparkSession.sparkContext.broadcast(
+                (qid_to_idx, luts)
+            )
 
-    cands = (
-        index.join(F.broadcast(probes), index["__list"] == probes["__probe"])
-        .drop("__list", "__probe")
-        .filter(F.col(id_col) != F.col(qid_col))
-        .withColumn("__adc", adc(F.col(qvec_col), F.col("pq_code")))
-    )
+    if use_lut:
+
+        @F.pandas_udf("double")
+        def adc_lut(qids: pd.Series, codes: pd.Series) -> pd.Series:
+            qmap, L = lut_bc.value
+            qi = qids.map(qmap).to_numpy(dtype=np.int64)
+            C = np.frombuffer(b"".join(codes.tolist()), dtype=np.uint8).reshape(
+                len(codes), m_
+            )
+            return pd.Series(
+                L[qi[:, None], np.arange(m_)[None, :], C].sum(axis=1)
+            )
+
+        ps = probes.select(qid_col, "__probe")
+        cands = (
+            index.join(F.broadcast(ps), index["__list"] == ps["__probe"])
+            .drop("__list", "__probe")
+            .filter(F.col(id_col) != F.col(qid_col))
+            .withColumn("__adc", adc_lut(F.col(qid_col), F.col("pq_code")))
+        )
+    else:
+
+        @F.pandas_udf("double")
+        def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+            Q = np.array(qvs.tolist(), dtype=np.float64)
+            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            C = np.frombuffer(b"".join(codes.tolist()), dtype=np.uint8).reshape(
+                len(codes), m_
+            )
+            # gather each row's m codebook entries -> (B, m, dsub), dot
+            # against the matching query subvectors in one einsum
+            rec = books[np.arange(m_)[None, :], C]  # (B, m, dsub)
+            return pd.Series(
+                np.einsum("bmd,bmd->b", rec, Q.reshape(len(Q), m_, dsub))
+            )
+
+        cands = (
+            index.join(F.broadcast(probes), index["__list"] == probes["__probe"])
+            .drop("__list", "__probe")
+            .filter(F.col(id_col) != F.col(qid_col))
+            .withColumn("__adc", adc(F.col(qvec_col), F.col("pq_code")))
+        )
     w_adc = Window.partitionBy(qid_col).orderBy(
         F.col("__adc").desc(), F.col(id_col).asc()
     )
@@ -559,8 +627,14 @@ def pq_topk(
     survivors = (
         cands.withColumn("__r", F.row_number().over(w_adc))
         .filter(F.col("__r") <= rerank)
-        .select(qid_col, qvec_col, id_col)
+        .select(
+            *([qid_col, id_col] if use_lut else [qid_col, qvec_col, id_col])
+        )
     )
+    if use_lut:  # reattach qvec to the tiny survivor frame for exact rerank
+        survivors = survivors.join(
+            F.broadcast(queries.select(qid_col, qvec_col)), qid_col
+        )
     exact = vectors.join(
         F.broadcast(survivors), id_col
     )  # survivors <= Q x rerank rows: always the broadcast side

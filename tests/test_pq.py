@@ -113,18 +113,42 @@ def test_pq_validation(spark, vec_data):
 
 
 def test_pq_candidate_join_ships_codes_not_vectors(spark, vec_data):
-    """Plan shape: the ADC scoring stage's scan side must not carry the
-    embedding column — only (id, list, pq_code) reach the bucket join;
-    full vectors reappear solely in the rerank-survivor join."""
+    """Plan shape: the ADC scoring stage must not carry ANY vector — with
+    the default LUT path its udf input is (qid, pq_code); the raw
+    embedding column reappears solely in the rerank-survivor join."""
     df, queries = vec_data
     out = pq_topk(
         df, queries, k=5, dim=32, m=8, ksub=32,
         n_centroids=8, n_probe=2, rerank=20,
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the ADC udf's input schema is (qvec, pq_code) — embedding must not
-    # appear in any ArrowEvalPython stage evaluating the adc udf
-    for line in plan.splitlines():
-        if "adc(" in line:
-            assert "embedding" not in line, line.strip()
+    adc_lines = [
+        line for line in plan.splitlines()
+        if "adc_lut(" in line or "adc(" in line
+    ]
+    assert adc_lines, "no ADC stage in plan"
+    assert any("adc_lut(" in line for line in adc_lines), (
+        "default path must score via the broadcast LUT udf"
+    )
+    for line in adc_lines:
+        assert "embedding" not in line and "qvec" not in line, line.strip()
     assert "pq_code" in plan
+
+
+def test_pq_lut_and_vector_paths_identical(spark, vec_data):
+    """adc_by_lut=True (broadcast lookup tables, (qid, code) Arrow rows)
+    and adc_by_lut=False (query vector carried per candidate) are two
+    formulations of the SAME score — outputs must match row for row,
+    in both rerank and pure-ADC modes."""
+    df, queries = vec_data
+    for rerank in (0, 20):
+        a = pq_topk(
+            df, queries, k=5, dim=32, m=8, ksub=32,
+            n_centroids=8, n_probe=2, rerank=rerank, adc_by_lut=True,
+        ).toPandas().sort_values(["qid", "rnk"]).reset_index(drop=True)
+        b = pq_topk(
+            df, queries, k=5, dim=32, m=8, ksub=32,
+            n_centroids=8, n_probe=2, rerank=rerank, adc_by_lut=False,
+        ).toPandas().sort_values(["qid", "rnk"]).reset_index(drop=True)
+        assert (a["vec_id"].to_numpy() == b["vec_id"].to_numpy()).all()
+        assert np.allclose(a["sim"], b["sim"], atol=1e-9)
