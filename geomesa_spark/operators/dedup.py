@@ -545,6 +545,7 @@ def dup_span_stats_hashed(
     id_col: str = "doc_id",
     window: int = 32,
     sample_mod: int = 8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """The 100-TB-shaped form of :func:`dup_span_stats` (Lee et al. 2022 §4,
     "Deduplicating Training Data Makes Language Models Better"): the
@@ -575,6 +576,15 @@ def dup_span_stats_hashed(
     pins that. The hashing runs in ONE Arrow pass per input split (numpy
     sliding windows over utf-32 codepoints, sampled before emission), so
     length(text) rows exist only inside the batch, never in the shuffle.
+
+    ``max_df`` (opt-in; the winnowing operator's boilerplate guard applied
+    here): spans appearing in MORE than ``max_df`` distinct documents are
+    treated as corpus boilerplate (license headers, templates) and excluded
+    from coverage — both a semantic mode (Lee et al. exclude ubiquitous
+    text from dedup decisions for exactly this reason) and a volume guard:
+    the join-back otherwise re-spreads every occurrence of a hot span
+    (AQE skew-split keeps that balanced, but the rows still move). Default
+    ``None`` keeps exact semantics — required by the oracle-pinned parity.
 
     -> (doc_id, dup_chars, dup_ratio), one row per input document.
     """
@@ -642,13 +652,17 @@ def dup_span_stats_hashed(
     # The join-back shuffles spans on the same keys, but the survivor side is
     # one row per key — AQE's skew-join split can shred a hot spans partition
     # (the 1-row build side replicates), which a window can never do.
+    agg_cols = [F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx")]
+    if max_df is not None:
+        agg_cols.append(F.count_distinct(F.col(id_col)).alias("__df"))
     survivors = (
         spans.groupBy("h1", "h2")
-        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+        .agg(*agg_cols)
         .filter(F.col("__mn") != F.col("__mx"))
-        .select("h1", "h2")
     )
-    occ = spans.join(survivors, ["h1", "h2"]).select(id_col, "i")
+    if max_df is not None:
+        survivors = survivors.filter(F.col("__df") <= int(max_df))
+    occ = spans.join(survivors.select("h1", "h2"), ["h1", "h2"]).select(id_col, "i")
     return _coverage_from_positions(occ, df, text_col, id_col, w)
 
 

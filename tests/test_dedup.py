@@ -596,3 +596,51 @@ def test_dedup_no_net_persisted_block_growth(spark, docs_pdf):
         f"persisted RDDs grew by {grown} over 3 call rounds "
         f"(baseline={baseline}, now={n_persistent()})"
     )
+
+
+def test_dup_span_hashed_max_df_boilerplate_guard(spark):
+    """Opt-in max_df: spans in more than max_df distinct docs are treated
+    as corpus boilerplate and excluded from coverage; rarer duplicated
+    spans still count. Default (None) keeps exact semantics."""
+    import numpy as np
+
+    from geomesa_spark.operators.dedup import dup_span_stats_hashed
+
+    rng = np.random.RandomState(3)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+
+    def filler(n):
+        return "".join(rng.choice(alpha, n))
+
+    boiler = "this exact boilerplate license header line repeats everywhere!!"
+    rare = "a rare duplicated paragraph shared by just two documents..."
+    docs = []
+    for i in range(40):
+        # per-doc unique FIRST body character: without it, boundary spans
+        # straddling boiler->body collide whenever two bodies share a
+        # leading character/digit run (a numeric prefix shares "00x"
+        # across ten docs) and legitimately carry small df — the guard
+        # correctly keeps those
+        body = chr(0x2500 + i) * 4 + filler(150)
+        text = boiler + body  # every doc carries the boilerplate
+        if i < 2:
+            text = text + rare  # only docs 0 and 1 share the rare span
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    base = {
+        r["doc_id"]: r["dup_chars"]
+        for r in dup_span_stats_hashed(df, sample_mod=1).collect()
+    }
+    assert all(base[i] > 0 for i in range(40))  # boilerplate counts by default
+
+    guarded = {
+        r["doc_id"]: r["dup_chars"]
+        for r in dup_span_stats_hashed(df, sample_mod=1, max_df=10).collect()
+    }
+    # docs 2..39: ONLY the (now-excluded) boilerplate was duplicated
+    assert all(guarded[i] == 0 for i in range(2, 40))
+    # docs 0,1: the rare span (df=2 <= 10) still surfaces
+    assert guarded[0] > 0 and guarded[1] > 0
+    # and strictly less than the unguarded coverage (boilerplate removed)
+    assert guarded[0] < base[0] and guarded[1] < base[1]
