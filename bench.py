@@ -404,7 +404,10 @@ def run_span_skew(spark) -> dict:
         return (base + f"{variant:06d} " + base)[:80]
 
     spread_texts = [
-        (t[:200] + boiler(i % 600) + t[200:]) if i % 2 == 0 else t
+        # (i // 2) % 600: boilerplate lands only on even i, so a plain
+        # i % 600 would produce just the 300 even residues — half the
+        # documented variant count at double the per-key fanout
+        (t[:200] + boiler((i // 2) % 600) + t[200:]) if i % 2 == 0 else t
         for i, t in enumerate(texts)
     ]
     hot_texts = [
@@ -514,11 +517,14 @@ def run_ann(spark) -> dict:
                 truth[qid] = set(grp["vec_id"])
             recall = 1.0
         else:
+            # denominator over ALL truth qids: a query the arm returned
+            # nothing for counts 0.0, not silently omitted
+            by_q = {qid: set(grp["vec_id"]) for qid, grp in got.groupby("qid")}
             per_q = [
-                len(truth[qid] & set(grp["vec_id"])) / max(len(truth[qid]), 1)
-                for qid, grp in got.groupby("qid")
+                len(truth[qid] & by_q.get(qid, set())) / max(len(truth[qid]), 1)
+                for qid in truth
             ]
-            recall = round(float(np.mean(per_q)), 3)
+            recall = round(float(np.mean(per_q)), 3) if per_q else 0.0
         samples = []
         for _ in range(ANN_REPS):
             t0 = _t.time()

@@ -56,9 +56,23 @@ JAR_PATH = os.path.join(_REPO, "dist", "geomesa-spark-ext.jar")
 
 
 def build_extensions_jar(force: bool = False) -> str:
-    """Compile jvm/src -> dist/geomesa-spark-ext.jar if missing (javac +
-    jar against pyspark's bundled jars; no other toolchain)."""
-    if force or not os.path.exists(JAR_PATH):
+    """Compile jvm/src -> dist/geomesa-spark-ext.jar if missing OR stale
+    (any .java under jvm/src newer than the jar — a checkout that built
+    the jar before a rule change must not silently load the old rule).
+    javac + jar against pyspark's bundled jars; no other toolchain."""
+    stale = force or not os.path.exists(JAR_PATH)
+    if not stale:
+        jar_mtime = os.path.getmtime(JAR_PATH)
+        src_root = os.path.join(_REPO, "jvm", "src")
+        for root, _, files in os.walk(src_root):
+            if any(
+                f.endswith(".java")
+                and os.path.getmtime(os.path.join(root, f)) > jar_mtime
+                for f in files
+            ):
+                stale = True
+                break
+    if stale:
         subprocess.run(
             ["/bin/sh", os.path.join(_REPO, "jvm", "build.sh")],
             check=True,
@@ -217,18 +231,33 @@ def with_point_cell_column(
 
 
 def cell_pruning_conf(
-    column: str = "p_cell", res: int = 8, max_cells: int = 2048
+    column: str = "p_cell",
+    res: int = 8,
+    max_cells: int = 2048,
+    lon: str = "lon",
+    lat: str = "lat",
 ) -> dict:
     """Session confs activating the JVM rule's cell-IN-list injection.
     Runtime confs (settable via ``spark.conf.set`` or passed to
     :func:`extended_session`). CONTRACT: ``column`` must equal
     ``core.cells.encode(lon, lat, res)`` of the coordinate columns the
     spatial UDFs receive — :func:`with_point_cell_column` writes exactly
-    that. Same trust class as the ``{geom}_xmin`` bbox-column contract."""
+    that. Same trust class as the ``{geom}_xmin`` bbox-column contract.
+
+    The confs are session-global while the contract is per-table, so the
+    coordinate column names are part of the registration: the rule injects
+    only into predicates over exactly (``lon``, ``lat``), which keeps a
+    second table's same-named cell column over DIFFERENT coordinates from
+    being pruned with the wrong cover. Tables sharing all three names but
+    written at different resolutions cannot be told apart — run one cell
+    layout per session, or encode the res in the column name
+    (``p_cell_r8`` / ``p_cell_r10``) and re-register between queries."""
     return {
         "spark.geomesaspark.cell.column": column,
         "spark.geomesaspark.cell.res": str(int(res)),
         "spark.geomesaspark.cell.maxCells": str(int(max_cells)),
+        "spark.geomesaspark.cell.lonColumn": lon,
+        "spark.geomesaspark.cell.latColumn": lat,
     }
 
 
@@ -273,10 +302,15 @@ def where_intersects_sql(
     df.createOrReplaceTempView(view)
     cols = ", ".join(f"`{c}`" for c in df.columns)
     lit = wkt.replace("'", "''")
-    return spark.sql(
+    out = spark.sql(
         f"SELECT {cols} FROM {view} "
         f"WHERE st_intersects_wkb(`{geom}`, '{lit}')"
     )
+    # spark.sql analyzes eagerly — the returned plan has the view inlined,
+    # so the catalog entry can be dropped at once (otherwise each facade
+    # call leaks a temp view pinning its input plan for the session)
+    spark.catalog.dropTempView(view)
+    return out
 
 
 def where_dwithin_sql(
@@ -296,11 +330,13 @@ def where_dwithin_sql(
     view = _unique_view("dwithin")
     df.createOrReplaceTempView(view)
     cols = ", ".join(f"`{c}`" for c in df.columns)
-    return spark.sql(
+    out = spark.sql(
         f"SELECT {cols} FROM {view} "
         f"WHERE st_dwithin_pt(`{lon}`, `{lat}`, "
         f"{float(lon0)!r}, {float(lat0)!r}, {float(meters)!r})"
     )
+    spark.catalog.dropTempView(view)  # eager analysis: plan already inlined
+    return out
 
 
 def where_pip_sql(
@@ -314,7 +350,9 @@ def where_pip_sql(
     df.createOrReplaceTempView(view)
     cols = ", ".join(f"`{c}`" for c in df.columns)
     lit = wkt.replace("'", "''")  # SQL-literal escape
-    return spark.sql(
+    out = spark.sql(
         f"SELECT {cols} FROM {view} "
         f"WHERE st_pip_wkt(`{lon}`, `{lat}`, '{lit}')"
     )
+    spark.catalog.dropTempView(view)  # eager analysis: plan already inlined
+    return out

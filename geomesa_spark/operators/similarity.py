@@ -414,6 +414,10 @@ def train_pq_codebooks(
         raise ValueError(f"ksub={ksub} must fit a uint8 code (1..256)")
     dsub = dim // m
     pdf = vectors.select(vec_col).limit(sample_rows).toPandas()
+    if len(pdf) == 0:
+        raise ValueError(
+            "train_pq_codebooks: vectors table is empty — nothing to sample"
+        )
     X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -561,8 +565,11 @@ def pq_topk(
             .limit(MAX_ADC_LUT_QUERIES + 1)
             .collect()
         )
-        if len(qrows) > MAX_ADC_LUT_QUERIES:
-            use_lut = False  # degrade: carry qvec per candidate instead
+        if len(qrows) > MAX_ADC_LUT_QUERIES or len(qrows) == 0:
+            # degrade: carry qvec per candidate instead (too many queries
+            # for the LUT broadcast; or zero queries — the vector path
+            # returns the correct empty frame without special-casing)
+            use_lut = False
         else:
             qn = np.array([r[1] for r in qrows], dtype=np.float64)
             qn /= np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)

@@ -371,6 +371,15 @@ def export_shapefile_distributed(
     rec_words = 10  # 20-byte point content
     shp_len_words = 50 + n * (4 + rec_words)
     shx_len_words = 50 + n * 4
+    # the shapefile header stores file length as a SIGNED 32-bit word
+    # count: ~153.4M point records is the FORMAT's hard ceiling. Refuse
+    # before writing a header struct.pack would corrupt or reject.
+    if shp_len_words > 0x7FFFFFFF:
+        raise ValueError(
+            f"shapefile format cannot represent {n} point records "
+            f"({shp_len_words} 16-bit words > int32 max); split the "
+            "export or use a part-file sink (parquet/geojson)"
+        )
 
     def header(length_words: int) -> bytes:
         h = struct.pack(">i20x i", 9994, length_words)

@@ -105,10 +105,20 @@ public class BBoxPrefilterRule extends Rule<LogicalPlan> {
    *  column equals core.cells.encode(lon, lat, res) of the coordinate
    *  columns the spatial UDFs receive; geomesa_spark.extensions.
    *  with_point_cell_column writes exactly that. As a structural guard the
-   *  rule only injects when the UDF's lon/lat are BARE column references. */
+   *  rule only injects when the UDF's lon/lat are BARE column references,
+   *  and — because the confs are session-global while the contract is
+   *  per-table — when `.lonColumn`/`.latColumn` are set (the Python helper
+   *  always sets them) the UDF's argument names must equal them: a second
+   *  table carrying a same-named cell column over DIFFERENT coordinate
+   *  columns is then never pruned with the wrong cover. Two tables sharing
+   *  all three names but different resolutions remain the caller's
+   *  responsibility: one cell layout per session (or distinct column
+   *  names per layout, e.g. p_cell_r8 / p_cell_r10). */
   static final String CELL_COL_KEY = "spark.geomesaspark.cell.column";
   static final String CELL_RES_KEY = "spark.geomesaspark.cell.res";
   static final String CELL_MAX_KEY = "spark.geomesaspark.cell.maxCells";
+  static final String CELL_LON_KEY = "spark.geomesaspark.cell.lonColumn";
+  static final String CELL_LAT_KEY = "spark.geomesaspark.cell.latColumn";
 
   private static final Pattern NUM =
       Pattern.compile("[-+]?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?");
@@ -219,6 +229,20 @@ public class BBoxPrefilterRule extends Rule<LogicalPlan> {
     if (res < 0 || res > 30
         || !(udf.children().apply(0) instanceof AttributeReference)
         || !(udf.children().apply(1) instanceof AttributeReference)) {
+      return null;
+    }
+    // per-table guard over the session-global conf: when the coordinate
+    // column names are registered, the UDF must be filtering exactly them
+    String lonCol = conf().getConfString(CELL_LON_KEY, "");
+    String latCol = conf().getConfString(CELL_LAT_KEY, "");
+    if (!lonCol.isEmpty()
+        && !((AttributeReference) udf.children().apply(0))
+            .name().equalsIgnoreCase(lonCol)) {
+      return null;
+    }
+    if (!latCol.isEmpty()
+        && !((AttributeReference) udf.children().apply(1))
+            .name().equalsIgnoreCase(latCol)) {
       return null;
     }
     // IntegerType too: hive-style partition discovery infers int for a

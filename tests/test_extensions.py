@@ -159,6 +159,25 @@ pf = mpf.group(1) if mpf else ""
 qcell = int(_cells.encode([139.7], [35.65], 6)[0])  # box fits one res-6 cell
 print("MARK cell_pf_on_cell", int("p_cell" in pf and str(qcell) in pf))
 print("MARK cell_prunes", int(nparts_all > 1))  # >1 dirs existed to prune
+# coordinate-name guard: the conf is session-global but the contract is
+# per-table. A SECOND physical table also carrying a column named p_cell —
+# but computed from differently-named coordinate columns at a DIFFERENT
+# resolution (res 4, not the registered 6) — must not get the registered
+# cover injected: a res-6 IN-list over res-4 cell values would silently
+# drop every matching row. (A mere withColumnRenamed view is NOT this
+# case: Catalyst inlines the alias back to the registered physical
+# attributes, where injection stays correct.)
+ppath2 = "/tmp/ext_cell_tbl2.parquet"
+(with_point_cell_column(
+        df.withColumnRenamed("lon", "lon2").withColumnRenamed("lat", "lat2"),
+        "lon2", "lat2", res=4)
+    .write.mode("overwrite").partitionBy("p_cell").parquet(ppath2))
+pt2 = spark.read.parquet(ppath2)
+pg = where_pip_sql(spark, pt2, "lon2", "lat2", %(wkt)r)
+pgphys = pg._jdf.queryExecution().executedPlan().toString()
+mg = re.search(r"PartitionFilters: \[([^\]]*)\]", pgphys)
+print("MARK cell_coord_guard", int(mg is not None and "p_cell" not in mg.group(1)))
+print("MARK cell_coord_guard_rows", pg.count())
 # conf off -> same SQL, PartitionFilters empty again (injection is gated)
 spark.conf.unset("spark.geomesaspark.cell.column")
 pc2 = where_pip_sql(spark, pt, "lon", "lat", %(wkt)r)
@@ -218,6 +237,9 @@ def test_jvm_rule_injects_bbox_and_pushes_down():
     assert int(marks["cell_prunes"]) == 1, marks
     assert int(marks["cell_gated"]) == 1, marks
     assert int(marks["cell_rows_gated"]) == int(marks["truth"]), marks
+    # renamed-coordinate table: no cell cover injected, rows still correct
+    assert int(marks["cell_coord_guard"]) == 1, marks
+    assert int(marks["cell_coord_guard_rows"]) == int(marks["truth"]), marks
     # fixed-point batch converged without the rule oscillating
     assert "Max iterations" not in res.stderr
 

@@ -152,3 +152,17 @@ def test_pq_lut_and_vector_paths_identical(spark, vec_data):
         ).toPandas().sort_values(["qid", "rnk"]).reset_index(drop=True)
         assert (a["vec_id"].to_numpy() == b["vec_id"].to_numpy()).all()
         assert np.allclose(a["sim"], b["sim"], atol=1e-9)
+
+
+def test_pq_degenerate_inputs(spark, vec_data):
+    df, queries = vec_data
+    # empty queries: LUT path degrades to the vector path, which returns
+    # the correct empty frame (no driver-side AxisError)
+    out = pq_topk(
+        df, queries.filter("qid < 0"), k=5, dim=32, m=8, ksub=32,
+        n_centroids=8, n_probe=2, rerank=10,
+    )
+    assert out.count() == 0
+    # empty vectors table: clear error, not a numpy traceback
+    with pytest.raises(ValueError, match="empty"):
+        train_pq_codebooks(df.filter("vec_id < 0"), dim=32, m=8, ksub=32)
