@@ -14,6 +14,20 @@ banded LSH from Mining of Massive Datasets ch.3), expressed Spark-first:
   guarantee within <=4 chunks by pigeonhole) -> chunk equi-join -> exact
   hamming verify.
 - ngram_jaccard_join: exact n-gram Jaccard over candidate pairs.
+
+Checkpoint discipline (applies to every ``localCheckpoint`` in this
+package): shared frames are eager-localCheckpoint-ed, not persisted, so
+(a) they materialize once even when the returned lineage references them
+from several sides, and (b) the ContextCleaner frees the blocks once the
+result frames are unreferenced — a bare .persist() inside a returned
+lineage can never be unpersisted and leaks for the session lifetime
+(regression-tested). The DELIBERATE trade-offs: construction eagerly runs
+the checkpointed stages (these operators are compute-then-consume, not
+plan-inspection surfaces), and checkpoint blocks have no lineage to
+recompute from — on a real cluster an executor loss after the checkpoint
+fails the downstream action instead of recovering. Deployments that need
+executor-loss tolerance substitute a reliable checkpoint dir
+(sc.setCheckpointDir + .checkpoint()) — same plan shape, storage-backed.
 """
 
 from __future__ import annotations
