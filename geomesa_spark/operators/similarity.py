@@ -430,10 +430,14 @@ def train_pq_codebooks(
             # argmin ||s - c||^2 == argmax (s.c - ||c||^2 / 2)
             score = S @ cent.T - 0.5 * (cent * cent).sum(axis=1)
             assign = np.argmax(score, axis=1)
-            for c in range(k_eff):
-                msk = assign == c
-                if msk.any():
-                    cent[c] = S[msk].mean(axis=0)
+            # vectorized update: a per-cluster masked-mean loop costs
+            # m * iters * ksub python iterations (32k at m=16) and
+            # dominated the whole pq_topk call (~3.9 s of a ~7.5 s arm)
+            sums = np.zeros((k_eff, dsub))
+            np.add.at(sums, assign, S)
+            counts = np.bincount(assign, minlength=k_eff).astype(np.float64)
+            nz = counts > 0
+            cent[nz] = sums[nz] / counts[nz, None]
         books[j, :k_eff] = cent
         if k_eff < ksub:  # degenerate tiny sample: pad with repeats
             books[j, k_eff:] = cent[0]
