@@ -50,6 +50,21 @@ _VIEW_SEQ = itertools.count()
 def _unique_view(prefix: str) -> str:
     return f"_{prefix}_input_{next(_VIEW_SEQ)}"
 
+
+def _sql_over_view(spark: SparkSession, df: DataFrame, prefix: str, where: str):
+    """Register ``df`` under a unique temp view, run ``SELECT * WHERE
+    <where>`` against it, and ALWAYS drop the view: spark.sql analyzes
+    eagerly, so the returned plan has the view inlined and the catalog
+    entry is droppable at once — and the drop sits in a finally so a bad
+    predicate (AnalysisException) can't leak the view either."""
+    view = _unique_view(prefix)
+    df.createOrReplaceTempView(view)
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    try:
+        return spark.sql(f"SELECT {cols} FROM {view} WHERE {where}")
+    finally:
+        spark.catalog.dropTempView(view)
+
 EXTENSION_CLASS = "geomesaspark.ext.SpatialExtensions"
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 JAR_PATH = os.path.join(_REPO, "dist", "geomesa-spark-ext.jar")
@@ -245,10 +260,14 @@ def cell_pruning_conf(
     that. Same trust class as the ``{geom}_xmin`` bbox-column contract.
 
     The confs are session-global while the contract is per-table, so the
-    coordinate column names are part of the registration: the rule injects
+    coordinate column names are PART OF the registration: the rule injects
     only into predicates over exactly (``lon``, ``lat``), which keeps a
     second table's same-named cell column over DIFFERENT coordinates from
-    being pruned with the wrong cover. Tables sharing all three names but
+    being pruned with the wrong cover. Consequence: if your table's
+    coordinate columns are not literally named lon/lat, you MUST pass
+    their names here — otherwise the guard (correctly) refuses to inject
+    and queries silently fall back to bbox-only pruning (visible as a
+    missing p_cell PartitionFilter in the plan, never as wrong rows). Tables sharing all three names but
     written at different resolutions cannot be told apart — run one cell
     layout per session, or encode the res in the column name
     (``p_cell_r8`` / ``p_cell_r10``) and re-register between queries."""
@@ -298,19 +317,10 @@ def where_intersects_sql(
     bbox-overlap conjuncts that push into the scan; without either, the
     exact DE-9IM UDF scans every row."""
     register_st_intersects_wkb(spark)
-    view = _unique_view("intersects")
-    df.createOrReplaceTempView(view)
-    cols = ", ".join(f"`{c}`" for c in df.columns)
     lit = wkt.replace("'", "''")
-    out = spark.sql(
-        f"SELECT {cols} FROM {view} "
-        f"WHERE st_intersects_wkb(`{geom}`, '{lit}')"
+    return _sql_over_view(
+        spark, df, "intersects", f"st_intersects_wkb(`{geom}`, '{lit}')"
     )
-    # spark.sql analyzes eagerly — the returned plan has the view inlined,
-    # so the catalog entry can be dropped at once (otherwise each facade
-    # call leaks a temp view pinning its input plan for the session)
-    spark.catalog.dropTempView(view)
-    return out
 
 
 def where_dwithin_sql(
@@ -327,16 +337,13 @@ def where_dwithin_sql(
     latitude-corrected bbox prefilter, without it the exact haversine UDF
     scans every row."""
     register_st_dwithin_pt(spark)
-    view = _unique_view("dwithin")
-    df.createOrReplaceTempView(view)
-    cols = ", ".join(f"`{c}`" for c in df.columns)
-    out = spark.sql(
-        f"SELECT {cols} FROM {view} "
-        f"WHERE st_dwithin_pt(`{lon}`, `{lat}`, "
-        f"{float(lon0)!r}, {float(lat0)!r}, {float(meters)!r})"
+    return _sql_over_view(
+        spark,
+        df,
+        "dwithin",
+        f"st_dwithin_pt(`{lon}`, `{lat}`, "
+        f"{float(lon0)!r}, {float(lat0)!r}, {float(meters)!r})",
     )
-    spark.catalog.dropTempView(view)  # eager analysis: plan already inlined
-    return out
 
 
 def where_pip_sql(
@@ -346,13 +353,7 @@ def where_pip_sql(
     path — no engine planner involved; with the extension active the JVM
     rule injects the bbox prefilter, without it the UDF scans every row."""
     register_st_pip_wkt(spark)
-    view = _unique_view("pip")
-    df.createOrReplaceTempView(view)
-    cols = ", ".join(f"`{c}`" for c in df.columns)
     lit = wkt.replace("'", "''")  # SQL-literal escape
-    out = spark.sql(
-        f"SELECT {cols} FROM {view} "
-        f"WHERE st_pip_wkt(`{lon}`, `{lat}`, '{lit}')"
+    return _sql_over_view(
+        spark, df, "pip", f"st_pip_wkt(`{lon}`, `{lat}`, '{lit}')"
     )
-    spark.catalog.dropTempView(view)  # eager analysis: plan already inlined
-    return out

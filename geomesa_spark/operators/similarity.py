@@ -226,6 +226,10 @@ def train_ivf_centroids(
     Deterministic: fixed seed, fixed iteration count.
     """
     pdf = vectors.select(vec_col).limit(sample_rows).toPandas()
+    if len(pdf) == 0:
+        raise ValueError(
+            "train_ivf_centroids: vectors table is empty — nothing to sample"
+        )
     X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -233,11 +237,16 @@ def train_ivf_centroids(
     for _ in range(iters):
         sims = X @ cent.T
         assign = np.argmax(sims, axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            if m.any():
-                v = X[m].mean(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+        # vectorized Lloyd update (same form as train_pq_codebooks):
+        # scatter-add + count division, empty clusters keep their centroid
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=len(cent)).astype(np.float64)
+        nz = counts > 0
+        v = sums[nz] / counts[nz, None]
+        cent[nz] = v / np.maximum(
+            np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+        )
     return cent
 
 

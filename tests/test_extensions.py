@@ -13,6 +13,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -279,3 +280,28 @@ def test_jar_source_and_build_script_exist():
     from geomesa_spark.extensions import build_extensions_jar
 
     assert os.path.exists(build_extensions_jar())
+
+
+def test_facade_view_dropped_even_on_bad_predicate(spark):
+    """The unique temp view lives only for the duration of the eager
+    spark.sql analysis — including when the predicate fails to analyze
+    (misspelled column), via the finally in _sql_over_view."""
+    from pyspark.sql.utils import AnalysisException
+
+    from geomesa_spark.extensions import where_pip_sql
+    from geomesa_spark.fixtures import ensure_images_parquet
+
+    df = spark.read.parquet(ensure_images_parquet(spark, 1000))
+
+    def facade_views():
+        return [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("_pip_input_")
+        ]
+
+    where_pip_sql(spark, df, "lon", "lat", WKT).count()
+    assert facade_views() == []  # success path: dropped after analysis
+    with pytest.raises(AnalysisException):
+        where_pip_sql(spark, df, "no_such_column", "lat", WKT)
+    assert facade_views() == []  # failure path: finally still dropped

@@ -166,3 +166,11 @@ def test_pq_degenerate_inputs(spark, vec_data):
     # empty vectors table: clear error, not a numpy traceback
     with pytest.raises(ValueError, match="empty"):
         train_pq_codebooks(df.filter("vec_id < 0"), dim=32, m=8, ksub=32)
+
+
+def test_ivf_trainer_empty_table_clear_error(spark, vec_data):
+    from geomesa_spark.operators.similarity import train_ivf_centroids
+
+    df, _ = vec_data
+    with pytest.raises(ValueError, match="empty"):
+        train_ivf_centroids(df.filter("vec_id < 0"), dim=32, n_centroids=8)
