@@ -669,3 +669,176 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select(qid_col, id_col, "sim", "rnk")
     )
+
+
+def build_pq_index(
+    vectors: DataFrame,
+    path: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 256,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+    centroids: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build and PERSIST the IVF-PQ index: one training pass (bounded
+    driver samples) + one encode pass over the table, written as parquet
+    PARTITIONED BY the coarse list id, with the trained model (codebooks +
+    centroids) in an ``_pq_model.npz`` sidecar next to the data.
+
+    This is the build-once/search-many layout (the reference persists its
+    indexes the same way — storage IS the index, geomesa-fs
+    CompositeScheme analog: sources/storage.py): each IVF list is a
+    directory, so a query probing ``n_probe`` lists reads exactly those
+    directories — partition pruning at file-listing time, before any IO.
+    The index rows are (id, m-byte code): ~dim*4/m smaller than the
+    vectors, re-encoded only when the model retrains, never per query.
+
+    Returns (codebooks, centroids) — also what the sidecar stores.
+    """
+    books = (
+        codebooks
+        if codebooks is not None
+        else train_pq_codebooks(vectors, dim, m=m, ksub=ksub, vec_col=vec_col)
+    )
+    cent = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(vectors, dim, n_centroids, vec_col)
+    )
+
+    @F.pandas_udf("int")
+    def assign_udf(vs: pd.Series) -> pd.Series:
+        X = np.array(vs.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(X @ cent.T, axis=1).astype(np.int32))
+
+    index = pq_encode(
+        vectors.select(id_col, vec_col).withColumn(
+            "__list", assign_udf(F.col(vec_col))
+        ),
+        books,
+        vec_col=vec_col,
+    )
+    index.write.mode("overwrite").partitionBy("__list").parquet(path)
+    import io as _io
+    import os as _os
+
+    buf = _io.BytesIO()
+    np.savez(buf, codebooks=books, centroids=cent)
+    with open(_os.path.join(path, "_pq_model.npz"), "wb") as fh:
+        fh.write(buf.getvalue())
+    return books, cent
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 8,
+    rerank: int = 0,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Search a :func:`build_pq_index` index: -> (qid, vec_id, sim, rnk).
+
+    The probed list ids are known driver-side (Q x n_probe ints from the
+    sidecar centroids — no cluster job), so the scan gets a STATIC
+    ``__list IN (...)`` filter: partition pruning is guaranteed at
+    file-listing time (assertable as PartitionFilters in the plan), not
+    left to runtime DPP. Scoring is the same broadcast-LUT ADC as
+    :func:`pq_topk`; ``rerank > 0`` requires the original ``vectors``
+    table (the index deliberately does not store vectors).
+    """
+    import os as _os
+
+    with open(_os.path.join(path, "_pq_model.npz"), "rb") as fh:
+        model = np.load(fh)
+        books = model["codebooks"]
+        cent = model["centroids"]
+    m_, ksub_, dsub = books.shape
+    if rerank > 0 and vectors is None:
+        raise ValueError("rerank > 0 needs the original vectors table")
+
+    qrows = queries.select(qid_col, qvec_col).limit(
+        MAX_ADC_LUT_QUERIES + 1
+    ).collect()
+    if len(qrows) > MAX_ADC_LUT_QUERIES:
+        raise ValueError(
+            f"pq_topk_indexed supports <= {MAX_ADC_LUT_QUERIES} queries "
+            "per call (driver-side probe + LUT); batch larger query sets"
+        )
+    index = spark.read.parquet(path)
+    if not qrows:
+        return (
+            index.limit(0)
+            .select(
+                F.lit(None).cast("long").alias(qid_col),
+                F.col(id_col),
+                F.lit(0.0).alias("sim"),
+                F.lit(0).alias("rnk"),
+            )
+            .limit(0)
+        )
+    qn = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn /= np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, :n_probe]
+    luts = np.einsum("jcd,qjd->qjc", books, qn.reshape(len(qn), m_, dsub))
+    qid_to_idx = {r[0]: i for i, r in enumerate(qrows)}
+    lut_bc = spark.sparkContext.broadcast((qid_to_idx, luts))
+
+    probe_rows = [
+        (r[0], int(lst)) for i, r in enumerate(qrows) for lst in order[i]
+    ]
+    probes = spark.createDataFrame(probe_rows, [qid_col, "__probe"])
+    all_lists = sorted({p for _, p in probe_rows})
+
+    @F.pandas_udf("double")
+    def adc_lut(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        qmap, L = lut_bc.value
+        qi = qids.map(qmap).to_numpy(dtype=np.int64)
+        C = np.frombuffer(b"".join(codes.tolist()), dtype=np.uint8).reshape(
+            len(codes), m_
+        )
+        return pd.Series(L[qi[:, None], np.arange(m_)[None, :], C].sum(axis=1))
+
+    cands = (
+        index.filter(F.col("__list").isin(all_lists))  # static partition prune
+        .join(F.broadcast(probes), index["__list"] == probes["__probe"])
+        .drop("__list", "__probe")
+        .filter(F.col(id_col) != F.col(qid_col))
+        .withColumn("__adc", adc_lut(F.col(qid_col), F.col("pq_code")))
+    )
+    w_adc = Window.partitionBy(qid_col).orderBy(
+        F.col("__adc").desc(), F.col(id_col).asc()
+    )
+    if rerank <= 0:
+        return (
+            cands.withColumn("rnk", F.row_number().over(w_adc))
+            .filter(F.col("rnk") <= k)
+            .select(qid_col, id_col, F.col("__adc").alias("sim"), "rnk")
+        )
+    survivors = (
+        cands.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= rerank)
+        .select(qid_col, id_col)
+        .join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col)
+    )
+    exact = vectors.join(F.broadcast(survivors), id_col)
+    sim = (
+        F.expr(_dot_expr(vec_col, qvec_col))
+        / (F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr(qvec_col)))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        exact.withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, id_col, "sim", "rnk")
+    )

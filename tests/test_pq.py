@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.operators.similarity import (
     brute_force_topk,
+    build_pq_index,
     pq_encode,
     pq_topk,
+    pq_topk_indexed,
     train_pq_codebooks,
 )
 
@@ -174,3 +176,45 @@ def test_ivf_trainer_empty_table_clear_error(spark, vec_data):
     df, _ = vec_data
     with pytest.raises(ValueError, match="empty"):
         train_ivf_centroids(df.filter("vec_id < 0"), dim=32, n_centroids=8)
+
+
+def test_pq_index_build_search_parity_and_pruning(spark, vec_data, tmp_path):
+    """build_pq_index + pq_topk_indexed: identical results to the in-line
+    pq_topk under the same trained model, and the probed lists appear as a
+    STATIC PartitionFilter on the index scan (file-listing-time pruning —
+    the storage layout IS the index, like the geo cell scheme)."""
+    df, queries = vec_data
+    path = str(tmp_path / "pqidx")
+    books, cent = build_pq_index(
+        df, path, dim=32, m=8, ksub=32, n_centroids=8
+    )
+    inline = pq_topk(
+        df, queries, k=5, dim=32, m=8, ksub=32, n_centroids=8,
+        n_probe=2, rerank=20, codebooks=books, centroids=cent,
+    ).toPandas().sort_values(["qid", "rnk"]).reset_index(drop=True)
+    indexed = pq_topk_indexed(
+        spark, path, queries, k=5, n_probe=2, rerank=20, vectors=df,
+    ).toPandas().sort_values(["qid", "rnk"]).reset_index(drop=True)
+    assert (inline["vec_id"].to_numpy() == indexed["vec_id"].to_numpy()).all()
+    assert np.allclose(inline["sim"], indexed["sim"], atol=1e-9)
+
+    out = pq_topk_indexed(spark, path, queries, k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    mpf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert mpf and "__list" in mpf.group(1), plan[:2000]
+
+
+def test_pq_index_degenerate(spark, vec_data, tmp_path):
+    from geomesa_spark.operators.similarity import build_pq_index, pq_topk_indexed
+
+    df, queries = vec_data
+    path = str(tmp_path / "pqidx2")
+    build_pq_index(df, path, dim=32, m=8, ksub=32, n_centroids=8)
+    # rerank without the vectors table: clear error
+    with pytest.raises(ValueError, match="vectors"):
+        pq_topk_indexed(spark, path, queries, k=5, rerank=10)
+    # empty queries: empty frame, right columns
+    out = pq_topk_indexed(spark, path, queries.filter("qid < 0"), k=5)
+    assert out.count() == 0
+    assert out.columns == ["qid", "vec_id", "sim", "rnk"]
