@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "events_asof",
     "text_quality",
     "ann_cosine",
+    "ann_pq",
 ]
 
 IMG_N = 50_000  # flagship image count for the raster workload

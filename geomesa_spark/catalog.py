@@ -1985,6 +1985,105 @@ FROM r WHERE rnk <= {ANN_K}
 """
 
 
+PQ_M = 8
+PQ_KSUB = 32
+PQ_RERANK = 30
+
+
+def q_ann_pq(spark, sf_dir):
+    """Fully native IVF-PQ (pq_topk_native): deterministic head-sampled
+    codebooks + coarse centroids, min_by encode (the N x m x ksub
+    assignment never shuffles), reconstruction as an array column so the
+    ADC score is ONE row-wise sequential fold, exact rerank of the ADC
+    top-PQ_RERANK. The DuckDB oracle replays the ENTIRE pipeline —
+    encode, reconstruction, ADC, rerank — so the driver hash verifies the
+    product-quantization operator itself (the trained-codebook pq_topk is
+    the production path, pytest-gated; this is its oracle-able twin, the
+    ann_ivf_udf <-> ivf_topk_native relationship)."""
+    from .operators.similarity import pq_topk_native
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < ANN_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    out = pq_topk_native(
+        emb, queries, k=ANN_K, dim=64, m=PQ_M, ksub=PQ_KSUB,
+        n_centroids=IVF_C, n_probe=IVF_PROBE, rerank=PQ_RERANK,
+    )
+    return out.select(
+        F.col("qid").cast("long"), F.col("vec_id").cast("long"),
+        F.col("rnk").cast("int"),
+    )
+
+
+def _oracle_ann_pq():
+    """DuckDB replays the native IVF-PQ pipeline end to end: per-subspace
+    argmin encode against the head-sampled codebook (row_number with the
+    min_by tie order), reconstruction via list(... ORDER BY j) + flatten
+    (the array_sort(collect_list) twin), row-wise ADC dot, probe routing,
+    exact-cosine rerank. Slices are 1-based inclusive on both engines
+    (Spark slice(arr, start, len) == DuckDB arr[start : start+len-1])."""
+    dsub = 64 // PQ_M
+    dot = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    nv = (
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+        "sqrt(list_sum(list_transform(embedding, "
+        "y -> CAST(y AS DOUBLE) * y))))"
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding, {nv} AS nv FROM embeddings),
+js AS (SELECT unnest(range({PQ_M})) AS j),
+cb AS (SELECT b.vec_id AS c, js.j,
+              b.nv[js.j * {dsub} + 1 : (js.j + 1) * {dsub}] AS cbv
+       FROM base b CROSS JOIN js WHERE b.vec_id < {PQ_KSUB}),
+vsub AS (SELECT b.vec_id, js.j,
+                b.nv[js.j * {dsub} + 1 : (js.j + 1) * {dsub}] AS vs
+         FROM base b CROSS JOIN js),
+enc AS (SELECT vec_id, j, cbv FROM (
+    SELECT v.vec_id, v.j, cb.cbv,
+           row_number() OVER (PARTITION BY v.vec_id, v.j
+               ORDER BY ({dot.format(a='v.vs', b='cb.cbv')}
+                         - 0.5 * {dot.format(a='cb.cbv', b='cb.cbv')}) DESC,
+                        cb.c ASC) AS r
+    FROM vsub v JOIN cb ON cb.j = v.j) WHERE r = 1),
+rec AS (SELECT vec_id, flatten(list(cbv ORDER BY j)) AS rv
+        FROM enc GROUP BY vec_id),
+cent AS (SELECT vec_id AS cid, nv AS cv FROM base WHERE vec_id < {IVF_C}),
+assign AS (SELECT vec_id, cid AS list FROM (
+    SELECT b.vec_id, c.cid,
+           row_number() OVER (PARTITION BY b.vec_id
+               ORDER BY {dot.format(a='b.nv', b='c.cv')} DESC, c.cid ASC) AS r
+    FROM base b CROSS JOIN cent c) WHERE r = 1),
+q AS (SELECT vec_id AS qid, embedding AS qvec, nv AS qn
+      FROM base WHERE vec_id < {ANN_NQ}),
+probes AS (SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY {dot.format(a='q.qn', b='c.cv')} DESC, c.cid ASC) AS r
+    FROM q CROSS JOIN cent c) WHERE r <= {IVF_PROBE}),
+cand AS (SELECT p.qid, a.vec_id FROM probes p
+         JOIN assign a ON a.list = p.cid WHERE a.vec_id <> p.qid),
+adc AS (SELECT cand.qid, cand.vec_id,
+               {dot.format(a='rec.rv', b='list_transform(q.qvec, x -> CAST(x AS DOUBLE))')} AS s
+        FROM cand JOIN rec ON rec.vec_id = cand.vec_id
+        JOIN q ON q.qid = cand.qid),
+surv AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS r
+    FROM adc) WHERE r <= {PQ_RERANK}),
+rs AS (SELECT surv.qid, surv.vec_id,
+              {_cos_sql('e.embedding', 'q.qvec')} AS sim
+       FROM surv JOIN embeddings e ON e.vec_id = surv.vec_id
+       JOIN q ON q.qid = surv.qid),
+r AS (SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+      FROM rs)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, rnk
+FROM r WHERE rnk <= {ANN_K}
+"""
+
+
 NEARDUP_TAU = 0.35  # synthetic embeddings: ~99.9th pctile of pair cosine
 
 
@@ -2781,6 +2880,7 @@ WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) <= {IMG_PHASH_
 
 QUERIES = {
     # --- round-5 new (least proven first) -------------------------------------
+    "ann_pq": (q_ann_pq, _oracle_ann_pq()),
     "geo_pip_s2": (q_geo_pip_s2, _oracle_geo_pip_s2()),
     # --- round-4 new / changed ------------------------------------------------
     "geo_where_geom": (q_geo_where_geom, _oracle_geo_where_geom()),
@@ -2831,7 +2931,6 @@ QUERIES = {
     "docs_sample_stratified": (q_docs_sample_stratified, _oracle_docs_sample_stratified()),
     "text_winnow_pairs": (q_text_winnow_pairs, _oracle_text_winnow_pairs()),
     "dedup_clusters_star": (q_dedup_clusters_star, _oracle_dedup_clusters()),
-    "ann_cosine": (q_ann_cosine, _oracle_ann_cosine()),
     "embed_neardup": (q_embed_neardup, _oracle_embed_neardup_lsh()),
     "geo_geom_join": (q_geo_geom_join, _oracle_geo_geom_join()),
 }
@@ -2841,6 +2940,10 @@ QUERIES = {
 # green in CORRECTNESS_r04. All remain full (fn, oracle) pairs — pytest runs
 # the identical hash comparison on them, and bench.py times several.
 RETIRED_QUERIES = {
+    # representative: ann_lsh / ann_ivf_udf / ann_pq (the exact brute-force
+    # baseline's candidate expansion is subsumed by every approximate arm's
+    # rerank stage; retired r5 to admit ann_pq inside the 50-entry window)
+    "ann_cosine": (q_ann_cosine, _oracle_ann_cosine()),
     # representative: geo_tile_pyramid (level-14 layer of the pyramid)
     "geo_tile_density": (q_geo_tile_density, _oracle_geo_tile_density()),
     # representative: geo_tile_pyramid (same native cell-bin count-density;

@@ -842,3 +842,169 @@ def pq_topk_indexed(
         .filter(F.col("rnk") <= k)
         .select(qid_col, id_col, "sim", "rnk")
     )
+
+
+def pq_topk_native(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    m: int = 8,
+    ksub: int = 32,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF-PQ top-k with a FULLY NATIVE plan (zero Python), the
+    :func:`ivf_topk_native` analog for the PQ family: the coarse quantizer
+    is the table's first ``n_centroids`` vectors and the per-subspace
+    codebook is the matching slice of the table's first ``ksub`` vectors
+    (deterministic sampling init without the Lloyd iterations), so an
+    ANSI-SQL oracle can replay the ENTIRE pipeline — encode, ADC, rerank —
+    and the driver hash verifies the approximate operator itself.
+
+    Scale shape (same arguments as the trained path):
+      - encode: the N x m x ksub assignment candidate set collapses through
+        a map-side-combinable ``min_by`` per (vector, subspace) — it never
+        shuffles; only N x m (id, j, code) rows exist after the aggregate.
+      - the vector's PQ reconstruction is materialized ONCE as an
+        array<double> column via array_sort(collect_list(struct(j, sub)))
+        + flatten — deterministic order by subspace index, so the ADC dot
+        is a single row-wise sequential fold (bit-stable across engines;
+        a float groupBy-sum over the m parts would accumulate in partition
+        order and flip near-ties between engines).
+      - ADC ranking is per-query-scale-invariant, so the raw query vector
+        dots against the reconstruction (no query normalization step to
+        disagree about).
+      - ``rerank``: exact cosine over the ADC top-``rerank`` survivors
+        only, the standard two-stage ranking.
+
+    -> (qid, vec_id, sim_adc or sim, rnk). Use :func:`pq_topk` for trained
+    codebooks + broadcast-LUT ADC at production scale.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    nrm = _norm_expr(vec_col)
+    nv = f"transform({vec_col}, x -> cast(x as double) / ({nrm}))"
+
+    base = vectors.select(
+        F.col(id_col), F.col(vec_col), F.expr(nv).alias("__nv")
+    )
+    # codebook: subspace j of the first ksub normalized vectors (broadcast)
+    cb = F.broadcast(
+        base.orderBy(F.col(id_col).asc())
+        .limit(ksub)
+        .select(
+            F.col(id_col).alias("__c"),
+            F.explode(F.expr(f"sequence(0, {m - 1})")).alias("__j"),
+            F.col("__nv"),
+        )
+        .select(
+            "__c",
+            "__j",
+            F.expr(f"slice(__nv, __j * {dsub} + 1, {dsub})").alias("__cb"),
+        )
+    )
+    # encode: argmin ||v_sub - cb||^2 == argmax (dot - ||cb||^2/2) via
+    # min_by over (-score, code id) — identical tie-breaking to the SQL
+    # oracle's row_number (score DESC, c ASC)
+    vsub = base.select(
+        F.col(id_col),
+        F.explode(F.expr(f"sequence(0, {m - 1})")).alias("__j"),
+        F.col("__nv"),
+    ).select(
+        id_col, "__j",
+        F.expr(f"slice(__nv, __j * {dsub} + 1, {dsub})").alias("__vs"),
+    )
+    score = F.expr(_dot_expr("__vs", "__cb")) - 0.5 * F.expr(
+        _dot_expr("__cb", "__cb")
+    )
+    codes = (
+        vsub.join(cb, "__j")
+        .withColumn("__s", F.nanvl(score, F.lit(float("-inf"))))
+        .groupBy(id_col, "__j")
+        .agg(
+            F.min_by(
+                F.struct(F.col("__c"), F.col("__cb")),
+                F.struct((-F.col("__s")).alias("ns"), F.col("__c").alias("c")),
+            ).alias("__e")
+        )
+    )
+    # reconstruction: subspace entries flattened in j order (deterministic)
+    rec = codes.groupBy(id_col).agg(
+        F.flatten(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__j, __e.__cb as cb))),"
+                " p -> p.cb)"
+            )
+        ).alias("__rec")
+    )
+    # coarse assignment (ivf_topk_native pattern)
+    cent = F.broadcast(
+        base.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("__cid"), F.col("__nv").alias("__cv"))
+    )
+    csim = F.nanvl(
+        F.expr(_dot_expr("__nv", "__cv")), F.lit(float("-inf"))
+    )
+    assign = (
+        base.crossJoin(cent)
+        .withColumn("__cs", csim)
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.col("__cid"),
+                F.struct((-F.col("__cs")).alias("ns"), F.col("__cid").alias("c")),
+            ).alias("__list")
+        )
+    )
+    qn = f"transform({qvec_col}, x -> cast(x as double) / ({_norm_expr(qvec_col)}))"
+    qsim = F.nanvl(F.expr(_dot_expr("__qn", "__cv")), F.lit(float("-inf")))
+    wq = Window.partitionBy(qid_col).orderBy(F.col("__qs").desc(), F.col("__cid").asc())
+    probes = (
+        queries.select(qid_col, qvec_col, F.expr(qn).alias("__qn"))
+        .crossJoin(cent)
+        .withColumn("__qs", qsim)
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select(qid_col, qvec_col, F.col("__cid").alias("__p"))
+    )
+    cands = (
+        assign.join(F.broadcast(probes), assign["__list"] == probes["__p"])
+        .drop("__list", "__p")
+        .filter(F.col(id_col) != F.col(qid_col))
+        .join(rec, id_col)
+        .withColumn("__adc", F.expr(_dot_expr("__rec", qvec_col)))
+    )
+    w_adc = Window.partitionBy(qid_col).orderBy(
+        F.col("__adc").desc(), F.col(id_col).asc()
+    )
+    if rerank <= 0:
+        return (
+            cands.withColumn("rnk", F.row_number().over(w_adc))
+            .filter(F.col("rnk") <= k)
+            .select(qid_col, id_col, F.col("__adc").alias("sim"), "rnk")
+        )
+    survivors = (
+        cands.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= rerank)
+        .select(qid_col, qvec_col, id_col)
+    )
+    exact = vectors.join(F.broadcast(survivors), id_col)
+    sim = (
+        F.expr(_dot_expr(vec_col, qvec_col))
+        / (F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr(qvec_col)))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        exact.withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, id_col, "sim", "rnk")
+    )
