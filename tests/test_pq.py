@@ -218,3 +218,36 @@ def test_pq_index_degenerate(spark, vec_data, tmp_path):
     out = pq_topk_indexed(spark, path, queries.filter("qid < 0"), k=5)
     assert out.count() == 0
     assert out.columns == ["qid", "vec_id", "sim", "rnk"]
+
+
+def test_pq_native_recall_and_shape(spark, vec_data):
+    """pq_topk_native (the oracle-able zero-Python twin): decent recall on
+    the clustered fixture with rerank, fully native plan (no Python
+    nodes), and it tolerates a codebook/centroid sample larger than the
+    table head requires."""
+    df, queries = vec_data
+    exact = brute_force_topk(df, queries, k=10).toPandas()
+    from geomesa_spark.operators.similarity import pq_topk_native
+
+    out = pq_topk_native(
+        df, queries, k=10, dim=32, m=8, ksub=32,
+        n_centroids=16, n_probe=6, rerank=100,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    got = out.toPandas()
+    assert _recall(exact, got) >= 0.8
+    # reranked sims are exact cosines
+    merged = got.merge(exact, on=["qid", "vec_id"], suffixes=("_pq", "_bf"))
+    assert len(merged) > 0 and np.allclose(
+        merged["sim_pq"], merged["sim_bf"], atol=1e-9
+    )
+    # tiny table: head-sampled codebook/centroids shrink to the table size
+    tiny = df.filter(F.col("vec_id") < 10)
+    tq = queries.filter(F.col("qid") < 2)
+    small = pq_topk_native(
+        tiny, tq, k=3, dim=32, m=8, ksub=32, n_centroids=16, n_probe=4,
+        rerank=5,
+    ).toPandas()
+    assert len(small) > 0 and (small.groupby("qid")["rnk"].max() <= 3).all()
