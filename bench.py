@@ -415,6 +415,7 @@ def run_span_skew(spark) -> dict:
         (t[:200] + boiler(0) + t[200:]) if i % 2 == 0 else t
         for i, t in enumerate(texts)
     ]
+    frames = {}
     arms = {}
     for name, body in (("spread", spread_texts), ("hot", hot_texts)):
         df = spark.createDataFrame(
@@ -422,17 +423,21 @@ def run_span_skew(spark) -> dict:
         ).persist()
         df.count()
         rows = dup_span_stats_hashed(df).count()  # warmup (plan + workers)
-        samples = []
-        for _ in range(SPAN_SKEW_REPS):
+        frames[name] = df
+        arms[name] = {"samples": [], "rows": rows}
+    # INTERLEAVED rep rounds (run_skew's protocol — the docstring's
+    # contract): the hot/spread RATIO is the claim, and sequential per-arm
+    # blocks let host-capacity drift between the two measurement windows
+    # masquerade as skew (observed: a drifty window produced 2.9x on arms
+    # whose steady-state ratio is ~1.2)
+    for _ in range(SPAN_SKEW_REPS):
+        for name, df in frames.items():
             t0 = _t.time()
             _noop_write(dup_span_stats_hashed(df))
-            samples.append(round(_t.time() - t0, 3))
+            arms[name]["samples"].append(round(_t.time() - t0, 3))
+    for name, df in frames.items():
         df.unpersist()
-        arms[name] = {
-            "samples": samples,
-            "seconds": statistics.median(samples),
-            "rows": rows,
-        }
+        arms[name]["seconds"] = statistics.median(arms[name]["samples"])
     arms["hot_over_spread"] = round(
         arms["hot"]["seconds"] / max(arms["spread"]["seconds"], 1e-9), 3
     )
@@ -619,9 +624,26 @@ def run_bench() -> dict:
     _noop_write(QUERIES["geo_pip_join"][0](spark, SF_DIR))
     _noop_write(QUERIES["tpch_q1"][0](spark, SF_DIR))
 
+    # Two timed runs per query: the FIRST pays query-specific one-time
+    # costs (codegen compile, JIT, broadcast build, shuffle-file page
+    # cache) on top of the work; the SECOND is the steady-state cost a
+    # long-lived cluster session pays per invocation — which is what the
+    # header warmup already declares as the number that scales. ``queries``
+    # (the headline map) is steady-state; the cold samples ride in the
+    # sidecar as ``queries_cold``. Cross-round caveat: r1-r4 timed ONE
+    # cold-ish sample per query, so comparisons across the r4/r5 boundary
+    # must read ``queries_cold`` (same method) — within r5+, steady-state
+    # control units are the comparable series. Measured motivation: the r4
+    # verdict had to hand-exonerate a 2x "regression" that a second sample
+    # shows was first-call variance (text_dup_spans 6.4 s cold / 1.9 s
+    # steady on the same host minute).
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
+        t0 = time.time()
+        _noop_write(fn(spark, SF_DIR))
+        timings_cold[name] = round(time.time() - t0, 3)
         t0 = time.time()
         _noop_write(fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
@@ -664,6 +686,9 @@ def run_bench() -> dict:
         "queries_control_units": {
             k: round(v / control, 3) for k, v in timings.items()
         },
+        # first-run samples (the r1-r4 method) — sidecar-only; read these
+        # for any comparison against a pre-r5 bench artifact
+        "queries_cold": timings_cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "flagship_rows_per_sec": round(flag["rows_per_sec"], 1),
         "flagship_rows_in": flag["rows_in"],
@@ -901,6 +926,23 @@ def run_scaling(n_images: int = 1_200_000,
             "  the span_skew hot-vs-spread arms, and the ann_compare arms\n"
             "  (brute / IVF / IVF-PQ at 150k x 64f, recall reported per arm)\n"
             "  to the bench list; same growth caveat.\n"
+            "- Round 5 sampling change: each catalog query is now timed\n"
+            "  TWICE — ``queries`` (headline) is the second, steady-state\n"
+            "  run (what a long-lived cluster session pays per invocation,\n"
+            "  the number the header warmup already declared as the target);\n"
+            "  the first-run samples ride in the sidecar as\n"
+            "  ``queries_cold`` (the r1-r4 method). Any comparison that\n"
+            "  crosses the r4/r5 boundary must read ``queries_cold``;\n"
+            "  within r5+ the steady-state control-units series is the\n"
+            "  comparable one. Motivation (measured, same host minute):\n"
+            "  single cold samples showed text_dup_spans at 6.4 s where the\n"
+            "  steady state is 1.9 s — 2x phantom regressions cost more\n"
+            "  judge effort than a second run costs bench time. The\n"
+            "  span_skew arms also now interleave their reps round-robin\n"
+            "  (run_skew's protocol, as their docstring always claimed):\n"
+            "  the hot/spread RATIO is the claim, and sequential arm blocks\n"
+            "  let capacity drift between windows masquerade as skew\n"
+            "  (observed 2.9x on a drifty window vs ~1.2 steady).\n"
             "\n## Minhash witness (round 4, measured once)\n\n"
             "VERDICT r3 #8 asked for an r2-same-config minhash timing beside\n"
             "the banded entry. Finding: no r2 BENCH artifact contains a\n"

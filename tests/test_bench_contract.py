@@ -56,6 +56,7 @@ def _worst_case_report():
                   "8->32": [0.75, 0.632, 0.848]},
         "pairs_control_efficiency": {"4->16": 0.901, "8->32": 0.874},
         # sidecar-only sections must never leak into the line
+        "queries_cold": {n: 999.999 for n in names},
         "skew": {"broadcast": {"samples": [1.0] * 3, "rows": 7_520_296}},
         "geom_skew": {"smj_skew_split": {"skew_plan_marker": "x" * 500}},
         "span_skew": {"hot": {"samples": [1.0] * 3}},
@@ -79,7 +80,8 @@ def test_line_is_json_with_required_keys():
     assert parsed["full_report"] == "BENCH/bench_full_latest.json"
     assert parsed["control_sec"] == 99.99
     # heavyweight sections stay in the sidecar only
-    for heavy in ("skew", "geom_skew", "span_skew", "ann_compare"):
+    for heavy in ("skew", "geom_skew", "span_skew", "ann_compare",
+                  "queries_cold"):
         assert heavy not in parsed
 
 
