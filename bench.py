@@ -1027,11 +1027,41 @@ def compact_line(out: dict) -> str:
             k: round(v, 1) for k, v in line_out["queries"].items()
         }
         s = json.dumps(line_out)
+    # hard final guard: the steps above are heuristics, the contract is not.
+    # Shed the FASTEST query entries one at a time (the slow ones are the
+    # judge-relevant ones; the full map is always in the sidecar), then as
+    # the absolute floor fall back to the minimal spec-required line. Both
+    # paths emit valid JSON <= MAX_LINE no matter what the report holds.
+    if len(s) > MAX_LINE and "queries" in line_out:
+        q = dict(line_out["queries"])
+        for k in sorted(q, key=lambda k: (q[k], k)):
+            if len(s) <= MAX_LINE:
+                break
+            del q[k]
+            line_out["queries"] = q
+            s = json.dumps(line_out)
+    if len(s) > MAX_LINE:
+        s = json.dumps(
+            {
+                "metric": out.get("metric", "")[:200],
+                "value": out.get("value"),
+                "unit": out.get("unit"),
+                "queries": {},
+                "sf": out.get("sf"),
+                "full_report": "BENCH/bench_full_latest.json",
+            }
+        )
     return s
 
 
+def _bench_dir() -> str:
+    """Sidecar directory (module-level seam so tests redirect THIS, not the
+    process-global ``os.path``)."""
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+
+
 def emit(out: dict) -> str:
-    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    bench_dir = _bench_dir()
     os.makedirs(bench_dir, exist_ok=True)
     with open(os.path.join(bench_dir, "bench_full_latest.json"), "w") as fh:
         json.dump(out, fh, indent=1)

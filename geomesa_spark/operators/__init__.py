@@ -44,6 +44,7 @@ from .similarity import (  # noqa: F401
     lsh_topk,
     pq_encode,
     pq_topk,
+    pq_topk_native,
     build_pq_index,
     pq_topk_indexed,
     train_pq_codebooks,

@@ -397,6 +397,37 @@ def ivf_topk(
 MAX_ADC_LUT_QUERIES = 1024
 
 
+def _query_luts(qrows, books: np.ndarray):
+    """Shared ADC-LUT builder for the two LUT-scoring paths
+    (:func:`pq_topk` / :func:`pq_topk_indexed`): from collected
+    (qid, qvec) rows -> (qid_to_idx, qn, luts) where ``qn`` is the
+    L2-normalized query matrix and ``LUT[q, j, c]`` = codebook[j, c] .
+    qn[q]'s j-th subvector. One einsum, computed driver-side once per
+    call; the caller broadcasts (qid_to_idx, luts)."""
+    m_, _, dsub = books.shape
+    qn = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn /= np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
+    luts = np.einsum("jcd,qjd->qjc", books, qn.reshape(len(qn), m_, dsub))
+    return {r[0]: i for i, r in enumerate(qrows)}, qn, luts
+
+
+def _adc_lut_udf(lut_bc, m_: int):
+    """Shared vectorized ADC scorer over broadcast LUTs: rows are
+    (qid, m-byte code) — the gather L[q, j, code[j]].sum(j) is the whole
+    score; no vectors cross the exchange."""
+
+    @F.pandas_udf("double")
+    def adc_lut(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        qmap, L = lut_bc.value
+        qi = qids.map(qmap).to_numpy(dtype=np.int64)
+        C = np.frombuffer(b"".join(codes.tolist()), dtype=np.uint8).reshape(
+            len(codes), m_
+        )
+        return pd.Series(L[qi[:, None], np.arange(m_)[None, :], C].sum(axis=1))
+
+    return adc_lut
+
+
 def train_pq_codebooks(
     vectors: DataFrame,
     dim: int,
@@ -584,28 +615,13 @@ def pq_topk(
             # returns the correct empty frame without special-casing)
             use_lut = False
         else:
-            qn = np.array([r[1] for r in qrows], dtype=np.float64)
-            qn /= np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
-            # LUT[q, j, c] = codebook[j, c] . q's j-th subvector
-            luts = np.einsum("jcd,qjd->qjc", books, qn.reshape(len(qn), m_, dsub))
-            qid_to_idx = {r[0]: i for i, r in enumerate(qrows)}
+            qid_to_idx, _, luts = _query_luts(qrows, books)
             lut_bc = vectors.sparkSession.sparkContext.broadcast(
                 (qid_to_idx, luts)
             )
 
     if use_lut:
-
-        @F.pandas_udf("double")
-        def adc_lut(qids: pd.Series, codes: pd.Series) -> pd.Series:
-            qmap, L = lut_bc.value
-            qi = qids.map(qmap).to_numpy(dtype=np.int64)
-            C = np.frombuffer(b"".join(codes.tolist()), dtype=np.uint8).reshape(
-                len(codes), m_
-            )
-            return pd.Series(
-                L[qi[:, None], np.arange(m_)[None, :], C].sum(axis=1)
-            )
-
+        adc_lut = _adc_lut_udf(lut_bc, m_)
         ps = probes.select(qid_col, "__probe")
         cands = (
             index.join(F.broadcast(ps), index["__list"] == ps["__probe"])
@@ -786,11 +802,8 @@ def pq_topk_indexed(
             )
             .limit(0)
         )
-    qn = np.array([r[1] for r in qrows], dtype=np.float64)
-    qn /= np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
+    qid_to_idx, qn, luts = _query_luts(qrows, books)
     order = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, :n_probe]
-    luts = np.einsum("jcd,qjd->qjc", books, qn.reshape(len(qn), m_, dsub))
-    qid_to_idx = {r[0]: i for i, r in enumerate(qrows)}
     lut_bc = spark.sparkContext.broadcast((qid_to_idx, luts))
 
     probe_rows = [
@@ -798,15 +811,7 @@ def pq_topk_indexed(
     ]
     probes = spark.createDataFrame(probe_rows, [qid_col, "__probe"])
     all_lists = sorted({p for _, p in probe_rows})
-
-    @F.pandas_udf("double")
-    def adc_lut(qids: pd.Series, codes: pd.Series) -> pd.Series:
-        qmap, L = lut_bc.value
-        qi = qids.map(qmap).to_numpy(dtype=np.int64)
-        C = np.frombuffer(b"".join(codes.tolist()), dtype=np.uint8).reshape(
-            len(codes), m_
-        )
-        return pd.Series(L[qi[:, None], np.arange(m_)[None, :], C].sum(axis=1))
+    adc_lut = _adc_lut_udf(lut_bc, m_)
 
     cands = (
         index.filter(F.col("__list").isin(all_lists))  # static partition prune
@@ -889,11 +894,20 @@ def pq_topk_native(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
-    nrm = _norm_expr(vec_col)
-    nv = f"transform({vec_col}, x -> cast(x as double) / ({nrm}))"
-
+    # norm hoisted to its own projection: embedding _norm_expr (an O(dim)
+    # aggregate) INSIDE the transform lambda would re-evaluate it per
+    # ELEMENT — O(dim^2) per row; lambda bodies block Catalyst's common
+    # subexpression elimination. Same arithmetic, computed once.
     base = vectors.select(
-        F.col(id_col), F.col(vec_col), F.expr(nv).alias("__nv")
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(_norm_expr(vec_col)).alias("__nrm"),
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(
+            f"transform({vec_col}, x -> cast(x as double) / __nrm)"
+        ).alias("__nv"),
     )
     # codebook: subspace j of the first ksub normalized vectors (broadcast)
     cb = F.broadcast(
@@ -964,11 +978,21 @@ def pq_topk_native(
             ).alias("__list")
         )
     )
-    qn = f"transform({qvec_col}, x -> cast(x as double) / ({_norm_expr(qvec_col)}))"
     qsim = F.nanvl(F.expr(_dot_expr("__qn", "__cv")), F.lit(float("-inf")))
     wq = Window.partitionBy(qid_col).orderBy(F.col("__qs").desc(), F.col("__cid").asc())
     probes = (
-        queries.select(qid_col, qvec_col, F.expr(qn).alias("__qn"))
+        queries.select(
+            qid_col,
+            qvec_col,
+            F.expr(_norm_expr(qvec_col)).alias("__qnrm"),
+        )
+        .select(
+            qid_col,
+            qvec_col,
+            F.expr(
+                f"transform({qvec_col}, x -> cast(x as double) / __qnrm)"
+            ).alias("__qn"),
+        )
         .crossJoin(cent)
         .withColumn("__qs", qsim)
         .withColumn("__r", F.row_number().over(wq))

@@ -123,10 +123,47 @@ def test_trim_is_noop_when_small():
     assert parsed["pairs"] == {"4->16": [0.9]}
 
 
+def test_hard_guard_pathological_payload():
+    """The graduated trims are heuristics; the contract is absolute. A
+    payload no heuristic anticipates (hundreds of long-named queries, a
+    runaway metric string) must STILL come out <= MAX_LINE valid JSON."""
+    rep = _worst_case_report()
+    rep["metric"] = "m" * 5000
+    rep["queries"] = {f"pathological_query_name_{i:04d}": 999.999
+                      for i in range(400)}
+    rep["queries_control_units"] = {k: 999.99 for k in rep["queries"]}
+    line = bench.compact_line(rep)
+    assert len(line) <= bench.MAX_LINE
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed, key
+
+
+def test_hard_guard_sheds_fastest_first():
+    """When queries alone overflow the line, the fastest entries are shed
+    and the slowest (judge-comparable) ones survive."""
+    rep = _worst_case_report()
+    rep["queries"] = {f"query_with_a_rather_long_name_{i:04d}": 0.1 + i * 0.001
+                      for i in range(300)}
+    rep.pop("queries_control_units")
+    parsed = json.loads(bench.compact_line(rep))
+    assert len(parsed["queries"]) < 300
+    kept = set(parsed["queries"])
+    # the slowest entry always survives; every kept entry is slower than
+    # every shed one
+    slowest = max(rep["queries"], key=rep["queries"].get)
+    assert slowest in kept
+    if kept:
+        min_kept = min(rep["queries"][k] for k in kept)
+        shed = set(rep["queries"]) - kept
+        assert all(rep["queries"][s] <= min_kept for s in shed)
+
+
 def test_emit_writes_sidecar(tmp_path, monkeypatch):
     rep = _worst_case_report()
-    # emit() writes next to bench.py; redirect via a copied module attr
-    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    # emit() resolves its sidecar dir through the module-level seam —
+    # patch THAT, never the process-global os.path
+    monkeypatch.setattr(bench, "_bench_dir", lambda: str(tmp_path / "BENCH"))
     line = bench.emit(rep)
     side = tmp_path / "BENCH" / "bench_full_latest.json"
     assert side.exists()
